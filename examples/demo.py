@@ -1,0 +1,66 @@
+"""End-to-end demo of toyfhe_tpu through the public API.
+
+Covers the reference's headline flows (ToyFHE.jl README usage): BFV
+scalar arithmetic with relinearization and noise tracking, and the CKKS
+pipeline with rescaling, slot rotation and the SEAL-style special-prime
+key switch.
+
+Run on CPU:
+  env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -u examples/demo.py
+Run on TPU: python -u examples/demo.py
+"""
+
+import sys
+from fractions import Fraction
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+import toyfhe_tpu as F
+
+
+def demo_bfv():
+    print("== BFV ==")
+    params = F.bfv_params(7, eval_mult_count=3)
+    print("auto-generated ring:", params.ring_cipher)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 2), ks[2])
+    print("decrypt:", F.decrypt(kp, c)[0])
+    csq = F.keyswitch(ek, F.ct_mul(c, c))
+    print("2^2 =", F.decrypt(kp, csq)[0],
+          " budget:", round(F.invariant_noise_budget(kp, csq), 1), "bits")
+    cm = F.keyswitch(ek, F.ct_mul(csq, c))
+    print("2^3 mod 7 =", F.decrypt(kp, cm)[0],
+          " budget:", round(F.invariant_noise_budget(kp, cm), 1), "bits")
+    assert F.decrypt(kp, cm)[0] == 1
+
+
+def demo_ckks():
+    print("== CKKS ==")
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    vals = np.arange(1, 17, dtype=np.float64)
+    ring = F.make_rns_ring(32, (30, 29, 29, 30))      # last limb = special prime
+    mr = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    kp = F.keygen(mr, ks[0])
+    pt = F.make_plaintext(mr.ring_cipher, vals, Fraction(2) ** 40)
+    c = F.encrypt(kp, pt, ks[1])
+    ek = F.keygen_eval_mult(ks[2], kp.priv)
+    gk = F.keygen_galois(ks[3], kp.priv, steps=1)
+
+    sq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    err = np.abs(F.decrypt(kp, sq).real - vals ** 2).max()
+    print("squares err:", err)
+    rot = F.rotate(gk, c)
+    err_r = np.abs(F.decrypt(kp, rot) - np.roll(vals.astype(complex), 1)).max()
+    print("rotation err:", err_r)
+    assert err < 1e-2 and err_r < 1e-4
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend())
+    demo_bfv()
+    demo_ckks()
+    print("demo OK")

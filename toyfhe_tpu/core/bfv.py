@@ -1,0 +1,183 @@
+"""BFV scheme (layer L4) — ``/root/reference/src/bfv.jl`` rebuilt TPU-first.
+
+Differences by design (SURVEY §7 hard parts 1-3):
+  * the ciphertext modulus is an RNS tower of <2^31 primes instead of one
+    60-bit prime — the PALISADE parameter generator below (``bfv.jl:47-118``
+    semantics) emits limb bit-sizes rather than a single wide prime;
+  * multiplication uses the exact BEHZ RNS pipeline (core/behz.py) instead
+    of the big-ring switch (``bfv.jl:34-40``);
+  * decode and the invariant-noise-budget meter CRT-reconstruct on the
+    host (debug path, SURVEY §7 hard part 7).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modmath, sampling
+from ..utils import numtheory as nt
+from . import ring as R
+from .behz import BFVMulContext, make_aux_ring
+from .plain import PlainPoly, PlainRing
+from .ring import RingContext, RingElt
+from .rlwe import CipherText, PrivKey, KeyPair, SchemeParams, decrypt_raw
+from . import cryptparams
+
+DEFAULT_SIGMA = 8.0 / math.sqrt(2.0 * math.pi)
+
+
+class BFVParams(SchemeParams):
+    """BFV parameter set (bfv.jl:5-15): ciphertext ring, aux multiply base
+    (role of ℛbig), plaintext ring, gadget window, σ, Δ."""
+
+    def __init__(self, ring: RingContext, aux_ring: Optional[RingContext],
+                 plain_ring: PlainRing, relin_window: int, sigma: float,
+                 delta: Optional[int] = None):
+        self._ring = ring
+        self.aux_ring = aux_ring if aux_ring is not None else make_aux_ring(ring)
+        self.plain = plain_ring
+        self.relin_window = relin_window
+        self.sigma = float(sigma)
+        self.delta = int(delta) if delta is not None else ring.modulus // plain_ring.p
+        self._delta_res = ring.scalar_residues(self.delta)
+        self._mulctx: Optional[BFVMulContext] = None
+
+    @property
+    def ring_cipher(self) -> RingContext:
+        return self._ring
+
+    def plaintext_space(self) -> PlainRing:
+        return self.plain
+
+    def scheme_name(self):
+        return "BFV"
+
+    # π⁻¹: Δ·m (bfv.jl:21-24)
+    def encode(self, plaintext: PlainPoly) -> RingElt:
+        m = np.asarray(plaintext.coeffs, dtype=np.uint32)[None, :]
+        m = jnp.broadcast_to(jnp.asarray(m), (self._ring.nlimbs, self._ring.n))
+        return RingElt(primal=modmath.mul_mod(
+            m, jnp.asarray(self._delta_res), self._ring.mp))
+
+    # π: centered-round by Δ then centered mod p (bfv.jl:26-29) — host
+    def decode(self, b: RingElt, ring: RingContext) -> PlainPoly:
+        b = R.ensure_primal(ring, b)
+        xs = ring.to_bigint(np.asarray(b.primal))
+        q = ring.modulus
+        p = self.plain.p
+        out = np.zeros(ring.n, dtype=np.int64)
+        for j, x in enumerate(xs):
+            xc = nt.centered(x, q)
+            out[j] = nt.divround(xc, self.delta) % p
+        return PlainPoly(self.plain, out)
+
+    # 𝒩 = 𝒢 = DiscreteNormal(0, σ) (bfv.jl:31-32)
+    def noise(self, key, ring: RingContext, batch=()):
+        return RingElt(primal=sampling.discrete_gaussian(key, ring.mp, ring.n,
+                                                         self.sigma, batch))
+
+    def secret_sampler(self, key, ring: RingContext, batch=()):
+        return RingElt(primal=sampling.discrete_gaussian(key, ring.mp, ring.n,
+                                                         self.sigma, batch))
+
+    # multiplication hooks (bfv.jl:34-40) — BEHZ pipeline
+    def mul_ctx(self) -> BFVMulContext:
+        if self._mulctx is None:
+            self._mulctx = BFVMulContext(self._ring, self.aux_ring)
+        return self._mulctx
+
+    def mul_expand_pair(self, c1: CipherText, c2: CipherText):
+        ctx = self.mul_ctx()
+        if c1.ring is not self._ring:
+            raise ValueError("BFV multiply requires the full tower (no modswitch support)")
+        a = tuple(ctx.expand_component(x) for x in c1.cs)
+        b = tuple(ctx.expand_component(x) for x in c2.cs)
+        return ctx.ext_ring, (a, b)
+
+    def mul_contract_pair(self, ring, cs):
+        ctx = self.mul_ctx()
+        t = self.plain.p
+        return self._ring, tuple(ctx.contract_component(w, t) for w in cs)
+
+
+def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,
+               r: int = 1, eval_mult_count: int = 0,
+               security=cryptparams.HEStd_128_classic,
+               relin_window: int = 0,
+               limb_bits: int = 28) -> BFVParams:
+    """Automatic parameter generation matching PALISADE's heuristics
+    (``bfv.jl:47-118``), then re-planned onto an RNS tower of ``limb_bits``
+    primes (SURVEY §7 hard part 1).
+    """
+    assert r >= 1
+    Berr = sigma * math.sqrt(alpha)
+    Bkey = Berr
+    delta_fn = lambda n: 2.0 * math.sqrt(n)
+    Vnorm = lambda n: Berr * (1 + 2 * delta_fn(n) * Bkey)
+
+    def nRLWE(q):
+        if isinstance(security, cryptparams.StdSecurity):
+            return cryptparams.std_ring_dim(
+                cryptparams.HEStd_error, security, math.ceil(math.log2(q)))
+        return math.log2(q / sigma) / (4 * math.log2(security))
+
+    n = 512
+    q = 0.0
+    if eval_mult_count > 0:
+        w = 2.0 ** r
+        eps1 = lambda n: 4 / (delta_fn(n) * Bkey)
+        C1 = lambda n: (1 + eps1(n)) * delta_fn(n) ** 2 * p * Bkey
+        C2 = lambda n, qP: (delta_fn(n) ** 2 * p * Bkey * (Bkey + p * p)
+                            + delta_fn(n) * (math.floor(math.log2(qP) / r) + 1) * w * Berr)
+        qBFV = lambda n, qP: (p * p + 2 * p * (
+            C1(n) ** eval_mult_count * Vnorm(n)
+            + eval_mult_count * C1(n) ** (eval_mult_count - 1) * C2(n, qP)))
+
+        qPrev = 1e6
+        q = qBFV(n, qPrev)
+        qPrev = q
+        while nRLWE(q) > n:
+            while nRLWE(q) > n:
+                n *= 2
+                q = qBFV(n, qPrev)
+                qPrev = q
+            q = qBFV(n, qPrev)
+            while abs(q - qPrev) > 0.001 * q:
+                qPrev = q
+                q = qBFV(n, qPrev)
+
+    bits = math.ceil(math.log2(q)) + 1 if q > 0 else 60
+    # RNS re-planning: split the q budget into <2^31 NTT-friendly limbs.
+    nlimbs = max(1, -(-bits // limb_bits))
+    per = -(-bits // nlimbs)
+    logqs = tuple([per] * nlimbs)
+    ring = RingContext(n, nt.ntt_prime_chain(n, logqs))
+    aux = make_aux_ring(ring)
+    plain = PlainRing(n, p)
+    return BFVParams(ring, aux, plain, relin_window, sigma)
+
+
+def invariant_noise_budget(key, c: CipherText) -> float:
+    """SEAL invariant noise budget −log2(2‖v‖) (bfv.jl:136-164), computed
+    by decrypting with the secret key and measuring the distance of each
+    coefficient from the Δ lattice. Host debug path."""
+    priv = key.priv if isinstance(key, KeyPair) else key
+    params = priv.params
+    b = decrypt_raw(priv, c)
+    ring = c.ring
+    b = R.ensure_primal(ring, b)
+    xs = ring.to_bigint(np.asarray(b.primal))
+    delta = params.delta
+    q = ring.modulus
+    p = params.plain.p
+
+    def birem(x):
+        r = x % delta
+        return delta - r if r > delta // 2 else r
+
+    worst = max(max(birem(x), 1) for x in xs)
+    return math.log2(q) - math.log2(p) - 1 - math.log2(worst)

@@ -1,0 +1,172 @@
+"""CKKS slot encoding — ``/root/reference/src/ckksencoding.jl``.
+
+ℂ^{N/2} slots via the conjugate-symmetric embedding with the ψ-twist that
+makes the FFT negacyclic, and the ℤm* slot permutation that makes Galois
+act as ``circshift`` (ckksencoding.jl:3-97).
+
+Encode/decode run host-side in float64 with exact-bigint quantization —
+the reference encodes client-side with FFTW/BigFloat (ckksencoding.jl:
+61,84), and on TPU the encoder is off the hot path by design (SURVEY
+§2.8: FFTW → host FFT; precision matters more than speed here). Exact
+scale arithmetic uses ``fractions.Fraction`` (the FixedRational role).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Union
+
+import numpy as np
+
+from ..utils import numtheory as nt
+from . import ring as R
+from . import rlwe
+from .ring import RingContext, RingElt
+from .rlwe import CipherText
+
+ScaleLike = Union[int, Fraction]
+
+
+def zmstar_indices(n: int) -> tuple:
+    """Rows of the ℤ_{2N}* permutation matrix, already halved
+    (ℤmstarPermutation, ckksencoding.jl:40-54): for j = 1..N/2,
+    row1[j] = (3^j mod 2N) >> 1 indexes the kept (non-conjugate) FFT bin,
+    row2[j] its conjugate partner."""
+    m = 2 * n
+    r1 = np.empty(n // 2, dtype=np.int64)
+    r2 = np.empty(n // 2, dtype=np.int64)
+    g = 1
+    for j in range(n // 2):
+        g = g * 3 % m
+        r1[j] = g >> 1
+        r2[j] = (m - g) >> 1
+    return r1, r2
+
+
+@dataclasses.dataclass
+class CKKSTag:
+    """Decode tag carried on CKKS ciphertexts: tracks the scale exactly
+    (FixedRational type-level algebra, ckks.jl:85-92)."""
+
+    scale: Fraction
+
+    def combine_mul(self, other: "CKKSTag") -> "CKKSTag":
+        return CKKSTag(self.scale * other.scale)          # ckksencoding.jl:133-135
+
+    def combine_add(self, other: "CKKSTag") -> "CKKSTag":
+        if self.scale != other.scale:
+            raise ValueError(f"adding ciphertexts at different scales: "
+                             f"{self.scale} vs {other.scale}")
+        return self
+
+    def rescale_by(self, prime: int) -> "CKKSTag":
+        return CKKSTag(self.scale / prime)                # ckksencoding.jl:126-130
+
+    def decode(self, params, dec: RingElt, ring: RingContext) -> np.ndarray:
+        return ckks_decode(ring, dec, self.scale)
+
+
+@dataclasses.dataclass
+class CKKSPlaintext:
+    """A slot vector awaiting encryption (CKKSEncoding{Tscale} value)."""
+
+    ring: RingContext
+    slots: np.ndarray          # complex128[N/2]
+    scale: Fraction
+
+    def to_ring(self, params) -> RingElt:
+        return ckks_encode(self.ring, self.slots, self.scale)
+
+    def decode_tag(self, params) -> CKKSTag:
+        return CKKSTag(Fraction(self.scale))
+
+
+def make_plaintext(ring: RingContext, values, scale: ScaleLike) -> CKKSPlaintext:
+    slots = np.zeros(ring.n // 2, dtype=np.complex128)
+    slots[:] = values
+    return CKKSPlaintext(ring, slots, Fraction(scale))
+
+
+def ckks_encode(ring: RingContext, slots, scale: ScaleLike) -> RingElt:
+    """slots ∈ ℂ^{N/2} → ring element (ckksencoding.jl:68-97):
+    conjugate-symmetrize through the ℤm* permutation, inverse FFT,
+    ψ-twist, then exact-bigint quantization by the scale."""
+    import jax.numpy as jnp
+
+    n = ring.n
+    scale = Fraction(scale)
+    slots = np.asarray(slots, dtype=np.complex128)
+    assert slots.shape == (n // 2,)
+    r1, r2 = zmstar_indices(n)
+    cmplx = np.zeros(n, dtype=np.complex128)
+    cmplx[r1] = slots
+    cmplx[r2] = np.conj(slots)
+    ipoints = np.fft.ifft(cmplx)
+    k = np.arange(n)
+    nipoints = ipoints * np.exp(2j * np.pi * k / (2 * n))
+    if not np.allclose(nipoints.imag, 0, atol=1e-9):
+        raise ValueError("CKKS encode: non-negligible imaginary part")
+    q = ring.modulus
+    # Exact quantization: float64 → Fraction → round-to-nearest bigint
+    # (the reference's round(BigInt, big(x)*denom), ckks.jl:43-47).
+    coeffs = []
+    for x in nipoints.real:
+        v = Fraction(x) * scale
+        m = (2 * v.numerator + v.denominator) // (2 * v.denominator)  # round half up
+        coeffs.append(m % q)
+    return RingElt(primal=jnp.asarray(ring.from_bigint(coeffs)))
+
+
+def ckks_decode(ring: RingContext, re: RingElt, scale: ScaleLike) -> np.ndarray:
+    """Ring element → slots ∈ ℂ^{N/2} (ckksencoding.jl:56-66)."""
+    n = ring.n
+    scale = Fraction(scale)
+    re = R.ensure_primal(ring, re)
+    xs = ring.to_bigint(np.asarray(re.primal))
+    q = ring.modulus
+    vals = np.array([float(Fraction(nt.centered(x, q)) / scale) for x in xs])
+    k = np.arange(n)
+    multed = vals * np.exp(-2j * np.pi * k / (2 * n))
+    f = np.fft.fft(multed)
+    r1, _ = zmstar_indices(n)
+    return f[r1]
+
+
+# ---------------------------------------------------------------------------
+# Plaintext-ciphertext arithmetic (ckksencoding.jl:100-124)
+# ---------------------------------------------------------------------------
+
+def _ct_scale(c: CipherText) -> Fraction:
+    if not isinstance(c.enc, CKKSTag):
+        raise ValueError("ciphertext carries no CKKS scale tag")
+    return c.enc.scale
+
+
+def mul_plain_scalar(c: CipherText, x: float) -> CipherText:
+    """c ·ₚ scalar — quantize at the ciphertext's scale; result scale
+    squares (ckksencoding.jl:100-105)."""
+    scale = _ct_scale(c)
+    q = c.ring.modulus
+    v = Fraction(x) * scale
+    m = (2 * v.numerator + v.denominator) // (2 * v.denominator)
+    s = c.ring.scalar_residues(m % q)
+    cs = tuple(R.scalar_mul(c.ring, s, x_) for x_ in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
+
+
+def mul_plain_vector(c: CipherText, vec) -> CipherText:
+    """c ·ₚ slot vector (ckksencoding.jl:107-113)."""
+    scale = _ct_scale(c)
+    pe = ckks_encode(c.ring, np.asarray(vec, dtype=np.complex128), scale)
+    cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
+
+
+def add_plain(c: CipherText, vals) -> CipherText:
+    """c +ₚ scalar-or-vector broadcast (ckksencoding.jl:115-124)."""
+    scale = _ct_scale(c)
+    slots = np.zeros(c.ring.n // 2, dtype=np.complex128)
+    slots[:] = vals
+    pe = ckks_encode(c.ring, slots, scale)
+    return rlwe.ct_add_ring(c, pe)

@@ -1,0 +1,614 @@
+"""Scheme-generic RLWE SHE engine (layer L3).
+
+TPU-native rebuild of ``/root/reference/src/rlwe_she.jl`` (392 LoC): one
+implementation of keygen / encrypt / decrypt / add / mul / keyswitch /
+rotate serves BFV, BGV and CKKS. A scheme is a :class:`SchemeParams`
+subclass supplying the four scheme functions — encoder π⁻¹, decoder π,
+noise distribution 𝒩, secret distribution 𝒢 (``rlwe_she.jl:9-16``) — plus
+ring accessors and the two optional multiplication hooks
+``mul_expand`` / ``mul_contract`` (``rlwe_she.jl:39-40``).
+
+Differences from the reference, by TPU-first design:
+  * explicit ``jax.random`` keys everywhere (no global RNG);
+  * key-switch decomposition is a per-limb gadget that unifies the
+    reference's two paths (``rlwe_she.jl:327-338``): ``relin_window = 0``
+    is pure RNS-basis decomposition with centered digits (crt.jl default,
+    ``crt.jl:298``), ``relin_window = w > 0`` decomposes **each RNS
+    residue** into base-2^w digits — on a single-limb tower this is
+    exactly the reference's power-of-2 digit path, and on RNS towers it
+    is the standard hybrid gadget that keeps key-switch noise at 2^w
+    instead of q_i. All digit tensors are static-shaped and batched into
+    one NTT call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modmath, sampling
+from ..ops.modmath import MontParams
+from . import ring as R
+from .ring import RingContext, RingElt
+
+
+class UsageError(Exception):
+    """Parameter-mixing and invariant violations (rlwe_she.jl:223-225)."""
+
+
+# ---------------------------------------------------------------------------
+# SchemeParams protocol + passthrough wrappers (rlwe_she.jl:9-61)
+# ---------------------------------------------------------------------------
+
+class SchemeParams:
+    """Base protocol. Subclasses define the four scheme functions."""
+
+    relin_window: int = 0
+
+    # ring accessors (rlwe_she.jl:18-34)
+    @property
+    def ring_cipher(self) -> RingContext:
+        raise NotImplementedError
+
+    @property
+    def ring_key(self) -> RingContext:
+        return self.ring_cipher
+
+    def plaintext_space(self):
+        raise NotImplementedError
+
+    # π⁻¹ : plaintext -> RingElt in ring_cipher
+    def encode(self, plaintext) -> RingElt:
+        raise NotImplementedError
+
+    # π : RingElt -> native plaintext (host side)
+    def decode(self, b: RingElt, ring: RingContext):
+        raise NotImplementedError
+
+    # 𝒩 : noise sampler over the given ring
+    def noise(self, key, ring: RingContext, batch=()) -> RingElt:
+        raise NotImplementedError
+
+    # 𝒢 : secret/ephemeral sampler
+    def secret_sampler(self, key, ring: RingContext, batch=()) -> RingElt:
+        raise NotImplementedError
+
+    # optional multiplication hooks (rlwe_she.jl:39-40)
+    def mul_expand_pair(self, c1: "CipherText", c2: "CipherText"):
+        return c1.ring, (c1.cs, c2.cs)
+
+    def mul_contract_pair(self, ring: RingContext, cs: Sequence[RingElt]):
+        return ring, tuple(cs)
+
+    def scheme_name(self) -> str:
+        return type(self).__name__
+
+
+class PassthroughParams(SchemeParams):
+    """Composable scheme modifier (rlwe_she.jl:52-61): delegate everything
+    to ``self.params``, override selectively. Unknown attributes (scheme
+    hooks like ``keyswitch_expand``, scheme fields like ``delta``) fall
+    through to the wrapped params via ``__getattr__``."""
+
+    def __init__(self, params: SchemeParams):
+        self.params = params
+
+    @property
+    def parent(self) -> SchemeParams:
+        return self.params
+
+    @property
+    def ring_cipher(self):
+        return self.params.ring_cipher
+
+    @property
+    def ring_key(self):
+        return self.params.ring_key
+
+    @property
+    def relin_window(self):
+        return self.params.relin_window
+
+    def plaintext_space(self):
+        return self.params.plaintext_space()
+
+    def encode(self, plaintext):
+        return self.params.encode(plaintext)
+
+    def decode(self, b, ring):
+        return self.params.decode(b, ring)
+
+    def noise(self, key, ring, batch=()):
+        return self.params.noise(key, ring, batch)
+
+    def secret_sampler(self, key, ring, batch=()):
+        return self.params.secret_sampler(key, ring, batch)
+
+    def mul_expand_pair(self, c1, c2):
+        return self.params.mul_expand_pair(c1, c2)
+
+    def mul_contract_pair(self, ring, cs):
+        return self.params.mul_contract_pair(ring, cs)
+
+    def scheme_name(self):
+        return self.params.scheme_name()
+
+    def __getattr__(self, name):
+        if name == "params":
+            raise AttributeError(name)
+        return getattr(self.params, name)
+
+
+# ---------------------------------------------------------------------------
+# Key and ciphertext types (rlwe_she.jl:67-149)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PrivKey:
+    params: SchemeParams
+    secret: RingElt          # lives in ring_key
+
+
+@dataclasses.dataclass
+class KeyComponent:
+    mask: RingElt
+    masked: RingElt
+
+
+@dataclasses.dataclass
+class PubKey:
+    params: SchemeParams
+    key: KeyComponent
+
+
+@dataclasses.dataclass
+class KeySwitchKey:
+    params: SchemeParams
+    key: List[KeyComponent]  # one per gadget digit
+    ring: RingContext        # ring the key elements live in
+
+
+@dataclasses.dataclass
+class EvalMultKey:
+    key: KeySwitchKey
+
+
+@dataclasses.dataclass
+class GaloisKey:
+    galois_element: int
+    key: KeySwitchKey
+
+
+@dataclasses.dataclass
+class KeyPair:
+    priv: PrivKey
+    pub: PubKey
+
+
+@dataclasses.dataclass
+class CipherText:
+    """N-tuple of ring elements + static metadata.
+
+    ``enc`` is the plaintext-encoding tag applied on decryption — the
+    role the ``Enc`` type parameter plays at ``rlwe_she.jl:131-149``.
+    ``ring`` tracks the (possibly modswitched) tower the components live
+    in.
+    """
+    params: SchemeParams
+    cs: Tuple[RingElt, ...]
+    ring: RingContext
+    enc: Any = None
+
+    def __len__(self):
+        return len(self.cs)
+
+    def __getitem__(self, i):
+        return self.cs[i]
+
+
+# ---------------------------------------------------------------------------
+# Key generation (rlwe_she.jl:155-170)
+# ---------------------------------------------------------------------------
+
+def keygen(params: SchemeParams, rng) -> KeyPair:
+    ring = params.ring_key
+    k1, k2, k3 = jax.random.split(rng, 3)
+    mask = RingElt(primal=sampling.uniform(k1, ring.mp, ring.n))
+    secret = params.secret_sampler(k2, ring)
+    error = params.noise(k3, ring)
+    # masked = -(mask*secret + error)
+    masked = R.neg(ring, R.add(ring, R.mul(ring, mask, secret), error))
+    return KeyPair(
+        PrivKey(params, secret),
+        PubKey(params, KeyComponent(mask=mask, masked=masked)))
+
+
+# ---------------------------------------------------------------------------
+# Encryption / decryption (rlwe_she.jl:176-217)
+# ---------------------------------------------------------------------------
+
+def encrypt_zero(pub: PubKey, rng) -> CipherText:
+    params = pub.params
+    # ModulusRaised overrides this (modulusraising.jl:23-26)
+    hook = getattr(params, "encrypt_zero", None)
+    if hook is not None:
+        return hook(pub, rng)
+    return _encrypt_zero_at(params, params.ring_cipher, pub.key, rng)
+
+
+def _encrypt_zero_at(params: SchemeParams, ring: RingContext,
+                     key: KeyComponent, rng) -> CipherText:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    u = params.secret_sampler(k1, ring)
+    e1 = params.noise(k2, ring)
+    e2 = params.noise(k3, ring)
+    c1 = R.add(ring, R.mul(ring, key.masked, u), e1)
+    c2 = R.add(ring, R.mul(ring, key.mask, u), e2)
+    return CipherText(params, (c1, c2), ring)
+
+
+def encrypt(key, plaintext, rng) -> CipherText:
+    """encrypt(kp|pub, plaintext) — encode with π⁻¹ then add to a fresh
+    encryption of zero (rlwe_she.jl:188-195)."""
+    pub = key.pub if isinstance(key, KeyPair) else key
+    params = pub.params
+    c = encrypt_zero(pub, rng)
+    pt, enc_tag = _encode_with_tag(params, plaintext)
+    cs = (R.add(c.ring, c.cs[0], pt),) + c.cs[1:]
+    return CipherText(params, cs, c.ring, enc=enc_tag)
+
+
+def _encode_with_tag(params, plaintext):
+    """Returns (RingElt, decode-tag). Encoding objects know how to encode
+    themselves; raw RingElts pass through untagged."""
+    if isinstance(plaintext, RingElt):
+        return plaintext, None
+    if hasattr(plaintext, "to_ring"):
+        return plaintext.to_ring(params), plaintext.decode_tag(params)
+    return params.encode(plaintext), None
+
+
+def decrypt(key, c: CipherText):
+    """b = Σ cᵢ·sⁱ, then π, then the encoding's decode (rlwe_she.jl:199-217)."""
+    priv = key.priv if isinstance(key, KeyPair) else key
+    params = priv.params
+    ring = c.ring
+    secret = priv.secret
+    skr = params.ring_key
+    # auto-align secret to the ciphertext tower (rlwe_she.jl:202-204)
+    while skr.nlimbs > ring.nlimbs:
+        skr, secret = R.modswitch_drop(skr, secret)
+    if skr.primes != ring.primes:
+        raise UsageError("secret/ciphertext tower mismatch")
+
+    b = c.cs[0]
+    spow = secret
+    for i in range(1, len(c.cs)):
+        b = R.add(ring, b, R.mul(ring, spow, c.cs[i]))
+        if i + 1 < len(c.cs):
+            spow = R.mul(ring, spow, secret)
+    dec = params.decode(b, ring)
+    if c.enc is not None:
+        return c.enc.decode(params, dec, ring)
+    return dec
+
+
+def decrypt_raw(key, c: CipherText) -> RingElt:
+    """Σ cᵢ·sⁱ without π — for noise instrumentation (bfv.jl:136-164)."""
+    priv = key.priv if isinstance(key, KeyPair) else key
+    ring = c.ring
+    secret = priv.secret
+    skr = priv.params.ring_key
+    while skr.nlimbs > ring.nlimbs:
+        skr, secret = R.modswitch_drop(skr, secret)
+    b = c.cs[0]
+    spow = secret
+    for i in range(1, len(c.cs)):
+        b = R.add(ring, b, R.mul(ring, spow, c.cs[i]))
+        if i + 1 < len(c.cs):
+            spow = R.mul(ring, spow, secret)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Homomorphic arithmetic (rlwe_she.jl:231-266)
+# ---------------------------------------------------------------------------
+
+def ct_add(c1: CipherText, c2: CipherText) -> CipherText:
+    return _ct_addsub(c1, c2, R.add)
+
+
+def ct_sub(c1: CipherText, c2: CipherText) -> CipherText:
+    return _ct_addsub(c1, c2, R.sub)
+
+
+def _ct_addsub(c1, c2, op):
+    if c1.params is not c2.params:
+        raise UsageError("Attempting to add ciphertexts with differing parameters")
+    ring = c1.ring
+    n1, n2 = len(c1), len(c2)
+    cs = []
+    for i in range(max(n1, n2)):
+        if i >= n1:
+            cs.append(c2.cs[i])
+        elif i >= n2:
+            cs.append(c1.cs[i])
+        else:
+            cs.append(op(ring, c1.cs[i], c2.cs[i]))
+    enc = c1.enc if c1.enc is not None else c2.enc
+    if c1.enc is not None and c2.enc is not None:
+        enc = c1.enc.combine_add(c2.enc)
+    return CipherText(c1.params, tuple(cs), ring, enc=enc)
+
+
+def ct_add_ring(c: CipherText, b: RingElt) -> CipherText:
+    """c + plaintext ring element (rlwe_she.jl:243-245)."""
+    cs = (R.add(c.ring, c.cs[0], b),) + c.cs[1:]
+    return CipherText(c.params, cs, c.ring, enc=c.enc)
+
+
+def enc_mul(c1: CipherText, c2: CipherText) -> Tuple[RingContext, Tuple[RingElt, ...]]:
+    """Tensor product with scheme expand/contract hooks (rlwe_she.jl:247-262)."""
+    if c1.params is not c2.params:
+        raise UsageError("Attempting to multiply ciphertexts with differing parameters")
+    params = c1.params
+    ring, (a, b) = params.mul_expand_pair(c1, c2)
+    out: List[Optional[RingElt]] = [None] * (len(a) + len(b) - 1)
+    for i in range(len(a)):
+        for j in range(len(b)):
+            t = R.mul(ring, a[i], b[j])
+            out[i + j] = t if out[i + j] is None else R.add(ring, out[i + j], t)
+    return params.mul_contract_pair(ring, out)
+
+
+def ct_mul(c1: CipherText, c2: CipherText) -> CipherText:
+    ring, cs = enc_mul(c1, c2)
+    enc = None
+    if c1.enc is not None and c2.enc is not None:
+        enc = c1.enc.combine_mul(c2.enc)
+    return CipherText(c1.params, cs, ring, enc=enc)
+
+
+# ---------------------------------------------------------------------------
+# Gadget decomposition + key switching (rlwe_she.jl:271-349)
+# ---------------------------------------------------------------------------
+
+def _gadget_shape(ring: RingContext, window: int) -> Tuple[int, int]:
+    """(digits per limb K, total digits L*K) for the unified gadget."""
+    if window == 0:
+        return 1, ring.nlimbs
+    maxbits = max(p.bit_length() for p in ring.primes)
+    k = -(-maxbits // window)
+    return k, ring.nlimbs * k
+
+
+def gadget_factors(ring: RingContext, window: int) -> List[int]:
+    """Integer factor g_{ik} each key digit is multiplied by:
+    (q/q_i)·[(q/q_i)^{-1}]_{q_i} · 2^{w·k}  (mod q)."""
+    q = ring.modulus
+    out = []
+    k, _ = _gadget_shape(ring, window)
+    for i, qi in enumerate(ring.primes):
+        qhat = q // qi
+        resid = qhat * pow(qhat % qi, -1, qi) % q
+        for kk in range(k):
+            out.append(resid * pow(2, window * kk, q) % q if window else resid)
+    return out
+
+
+def gadget_decompose(ring: RingContext, target: RingContext, x: RingElt,
+                     window: int) -> jnp.ndarray:
+    """Decompose x (primal, in ``ring``) into digit ring elements embedded
+    in ``target``'s tower. Returns primal tensor uint32[ndig, Lt, N].
+
+    window == 0: centered RNS digits (rlwe_she.jl:327-330);
+    window  > 0: raw base-2^w digits of each residue (rlwe_she.jl:331-338
+    generalized per-limb)."""
+    x = R.ensure_primal(ring, x)
+    p = x.primal                      # [L, N]
+    mp_t = target.mp
+    digs = []
+    if window == 0:
+        for i in range(ring.nlimbs):
+            lift = modmath.centered(p[..., i:i + 1, :], ring.mp.select([i]))
+            digs.append(modmath.from_signed(
+                jnp.broadcast_to(lift, p.shape[:-2] + (target.nlimbs, ring.n)), mp_t))
+    else:
+        k, _ = _gadget_shape(ring, window)
+        mask = np.uint32((1 << window) - 1)
+        for i in range(ring.nlimbs):
+            xi = p[..., i:i + 1, :]
+            for kk in range(k):
+                d = (xi >> np.uint32(window * kk)) & mask
+                digs.append(jnp.broadcast_to(
+                    d, p.shape[:-2] + (target.nlimbs, ring.n)).astype(jnp.uint32))
+    return jnp.stack(digs, axis=0)
+
+
+def make_eval_key(rng, old: RingElt, new: PrivKey,
+                  key_params: Optional[SchemeParams] = None) -> KeySwitchKey:
+    """Key-switching key old→new.secret (rlwe_she.jl:273-298).
+
+    ``old`` is a ring element in new's key ring (e.g. s², σ(s), or ps·s
+    for ModulusRaised).
+    """
+    params = key_params if key_params is not None else new.params
+    gen_params = new.params
+    ring = gen_params.ring_key
+    window = params.relin_window
+    # digit ring: decomposition happens over the *ciphertext* tower; keys
+    # are generated over the full key tower. Factors are taken over the
+    # decomposition ring's modulus.
+    dec_ring = params.ring_cipher if _is_modraised(params) else ring
+    factors = gadget_factors(dec_ring, window)
+
+    old = R.ensure_primal(ring, old)
+    comps: List[KeyComponent] = []
+    for g in factors:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        mask = RingElt(primal=sampling.uniform(k1, ring.mp, ring.n))
+        e = gen_params.noise(k2, ring)
+        ga = R.scalar_mul(ring, g % ring.modulus, old)
+        masked = R.sub(ring, ga, R.add(ring, R.mul(ring, mask, new.secret), e))
+        comps.append(KeyComponent(mask=mask, masked=masked))
+    return KeySwitchKey(params, comps, ring)
+
+
+def _is_modraised(params) -> bool:
+    from .modraise import ModulusRaised
+    return isinstance(params, ModulusRaised)
+
+
+def keygen_eval_mult(rng, priv: PrivKey) -> EvalMultKey:
+    ring = priv.params.ring_key
+    hook = getattr(priv.params, "lift_old_key", None)
+    s2 = R.mul(ring, priv.secret, priv.secret)
+    old = hook(s2) if hook is not None else s2
+    return EvalMultKey(make_eval_key(rng, old, priv))
+
+
+def galois_element_for_steps(n: int, steps: int) -> int:
+    """3^(2N−steps) for steps>0 else 3^(−steps), mod 2N (rlwe_she.jl:304)."""
+    m = 2 * n
+    if steps > 0:
+        return pow(3, 2 * n - steps, m)
+    return pow(3, -steps, m)
+
+
+def keygen_galois(rng, priv: PrivKey, steps: Optional[int] = None,
+                  galois_element: Optional[int] = None) -> GaloisKey:
+    assert (steps is None) != (galois_element is None)
+    ring = priv.params.ring_key
+    if galois_element is None:
+        galois_element = galois_element_for_steps(ring.n, steps)
+    sg = R.apply_galois(ring, priv.secret, galois_element)
+    hook = getattr(priv.params, "lift_old_key", None)
+    old = hook(sg) if hook is not None else sg
+    return GaloisKey(galois_element, make_eval_key(rng, old, priv))
+
+
+def _mod_sum(terms: jnp.ndarray, mp: MontParams) -> jnp.ndarray:
+    """Tree-reduce sum over axis 0 with modular adds."""
+    k = terms.shape[0]
+    while k > 1:
+        half = k // 2
+        lo = terms[:half]
+        hi = terms[half:2 * half]
+        red = modmath.add_mod(lo, hi, mp)
+        if k % 2:
+            red = jnp.concatenate([red, terms[2 * half:]], axis=0)
+        terms = red
+        k = terms.shape[0]
+    return terms[0]
+
+
+def keyswitch(ek, c: CipherText) -> CipherText:
+    """Key switch c's last component back onto the base secret
+    (rlwe_she.jl:315-347). Handles both gadget paths and the ModulusRaised
+    expand/contract hooks."""
+    if isinstance(ek, (EvalMultKey, GaloisKey)):
+        ek = ek.key
+    params = ek.params
+    assert len(c.cs) in (2, 3)
+    ring = c.ring
+
+    expand = getattr(params, "keyswitch_expand", None)
+    contract = getattr(params, "keyswitch_contract", None)
+
+    if expand is not None:
+        exp_ring, c1 = expand(ring, c.cs[0])
+        _, c2 = (exp_ring, R.zero_like(exp_ring, c1)) if len(c.cs) == 2 \
+            else expand(ring, c.cs[1])
+    else:
+        exp_ring, c1 = ring, c.cs[0]
+        c2 = c.cs[1] if len(c.cs) == 3 else None
+
+    window = params.relin_window
+    digits = gadget_decompose(ring, exp_ring, c.cs[-1], window)   # [ndig, Lt, N]
+    from ..ops import ntt as nttmod
+    ddual = nttmod.ntt(exp_ring.tables, digits)
+
+    # select key limbs matching the (expanded) ciphertext tower; after
+    # modswitch drops, only the first ndig gadget components apply
+    # (downswitch_keyelement, crt.jl:238-244)
+    masks, maskeds = _downswitch_stack(params, ek, exp_ring, int(digits.shape[0]))
+    mp = exp_ring.mp
+    acc2 = _mod_sum(modmath.mul_mod(masks, ddual, mp), mp)
+    acc1 = _mod_sum(modmath.mul_mod(maskeds, ddual, mp), mp)
+
+    c1 = R.add(exp_ring, R.ensure_dual(exp_ring, c1), RingElt(dual=acc1))
+    if c2 is None:
+        c2 = RingElt(dual=acc2)
+    else:
+        c2 = R.add(exp_ring, R.ensure_dual(exp_ring, c2), RingElt(dual=acc2))
+
+    if contract is not None:
+        out_ring, c1 = contract(exp_ring, c1)
+        _, c2 = contract(exp_ring, c2)
+    else:
+        out_ring = exp_ring
+    return CipherText(c.params, (c1, c2), out_ring, enc=c.enc)
+
+
+def _downswitch_stack(params, ek: KeySwitchKey, target: RingContext, ndig: int):
+    """Stack key components as dual tensors [ndig, Lt, N], restricted to
+    the target tower (downswitch_keyelement, crt.jl:238-244 /
+    modulusraising.jl:43-49)."""
+    key_ring = ek.ring
+    if _is_modraised(params):
+        which = list(range(target.nlimbs - 1)) + [key_ring.nlimbs - 1]
+    else:
+        which = list(range(target.nlimbs))
+    masks, maskeds = [], []
+    for comp in ek.key[:ndig]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask), which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked), which)
+        masks.append(m.dual)
+        maskeds.append(md.dual)
+    return jnp.stack(masks, 0), jnp.stack(maskeds, 0)
+
+
+# ---------------------------------------------------------------------------
+# Rotations (rlwe_she.jl:355-360)
+# ---------------------------------------------------------------------------
+
+def apply_galois_ct(c: CipherText, galois_element: int) -> CipherText:
+    cs = tuple(R.apply_galois(c.ring, x, galois_element) for x in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=c.enc)
+
+
+def rotate(gk: GaloisKey, c: CipherText) -> CipherText:
+    return keyswitch(gk, apply_galois_ct(c, gk.galois_element))
+
+
+# ---------------------------------------------------------------------------
+# Modulus switching of whole ciphertexts (crt.jl:234-236, ckksencoding)
+# ---------------------------------------------------------------------------
+
+def ct_modswitch_drop(c: CipherText) -> CipherText:
+    ring = c.ring
+    cs = []
+    sub = None
+    for x in c.cs:
+        sub, y = R.modswitch_drop(ring, x)
+        cs.append(y)
+    enc = c.enc.drop_limb(ring) if c.enc is not None and hasattr(c.enc, "drop_limb") else c.enc
+    return CipherText(c.params, tuple(cs), sub, enc=enc)
+
+
+def ct_rescale(c: CipherText) -> CipherText:
+    """CKKS modswitch: exact rescale by the dropped prime + scale division
+    (ckksencoding.jl:126-130)."""
+    ring = c.ring
+    cs = []
+    sub = None
+    for x in c.cs:
+        sub, y = R.rescale(ring, x)
+        cs.append(y)
+    enc = c.enc.rescale_by(ring.primes[-1]) if c.enc is not None and hasattr(c.enc, "rescale_by") else c.enc
+    return CipherText(c.params, tuple(cs), sub, enc=enc)

@@ -1,0 +1,167 @@
+"""Host-side number theory for parameter setup.
+
+Replaces the reference's Primes.jl / GaloisFields.jl setup-time machinery
+(prime walks ``/root/reference/src/crt.jl:282-295``, minimal primitive roots
+``/root/reference/src/pow2_cyc_rings.jl:38-44``). Everything here runs once
+per parameter set on the host with exact Python integers; the results are
+baked into device constant tables.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+# Deterministic Miller-Rabin witnesses, valid for all n < 3.3e24 (covers
+# every modulus we ever generate; towers use < 2^31 limb primes, but the
+# generic-cyclotomic host backend may probe larger q).
+_MR_WITNESSES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+def is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in _MR_WITNESSES:
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def next_prime(start: int, interval: int = 1) -> int:
+    """Smallest prime p >= start with p ≡ start (mod interval).
+
+    Mirrors the reference's ``nextprime(x; interval=2N)`` walk
+    (``/root/reference/test/bfv_crt.jl:9-10``): stepping by ``interval``
+    preserves the residue class, so starting from ``2^k + 1`` with
+    ``interval = 2N`` yields NTT-friendly primes ≡ 1 (mod 2N).
+    """
+    p = start
+    while not is_prime(p):
+        p += interval
+    return p
+
+
+def prev_prime(start: int, interval: int = 1) -> int:
+    p = start
+    while p > 2 and not is_prime(p):
+        p -= interval
+    return p
+
+
+def ntt_prime_chain(n: int, logqs: Sequence[int]) -> List[int]:
+    """Pick one NTT-friendly prime (≡ 1 mod 2n) per requested bit size.
+
+    Semantics of the reference RNS ring constructor
+    ``/root/reference/src/crt.jl:282-295``: process sizes in sorted order,
+    walk ``nextprime(max(2^logq + 1, last + 2n), interval=2n)``, return the
+    primes in the originally requested order. Distinctness is guaranteed by
+    the ``last + 2n`` lower bound.
+    """
+    order = sorted(range(len(logqs)), key=lambda i: logqs[i])
+    primes: List[int] = [0] * len(logqs)
+    last = 0
+    for i in order:
+        start = max((1 << logqs[i]) + 1, last + 2 * n)
+        # Keep the ≡ 1 (mod 2n) class: round start up to the next value
+        # ≡ 1 (mod 2n).
+        rem = (start - 1) % (2 * n)
+        if rem:
+            start += 2 * n - rem
+        p = next_prime(start, interval=2 * n)
+        primes[i] = p
+        last = p
+    return primes
+
+
+def primitive_root(p: int) -> int:
+    """Smallest generator of the multiplicative group of F_p."""
+    if p == 2:
+        return 1
+    factors = _factorize(p - 1)
+    for g in range(2, p):
+        if all(pow(g, (p - 1) // q, p) != 1 for q in factors):
+            return g
+    raise ValueError(f"no generator found for {p}")
+
+
+def _factorize(n: int) -> List[int]:
+    out = []
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def minimal_primitive_root_of_unity(p: int, order: int) -> int:
+    """Smallest x in F_p with multiplicative order exactly ``order``.
+
+    Matches GaloisFields.jl ``minimal_primitive_root`` used at
+    ``/root/reference/src/pow2_cyc_rings.jl:40``: brute-force from 2 up,
+    checking x^order == 1 and x^(order/q) != 1 for each prime q | order.
+    Setup-time only; the scan is short in practice.
+    """
+    if (p - 1) % order != 0:
+        raise ValueError(f"{order}-th roots of unity do not exist mod {p}")
+    qs = _factorize(order)
+    for x in range(2, p):
+        if pow(x, order, p) == 1 and all(pow(x, order // q, p) != 1 for q in qs):
+            return x
+    raise ValueError(f"no primitive {order}-th root mod {p}")
+
+
+def invmod(a: int, m: int) -> int:
+    return pow(a, -1, m)
+
+
+def crt_reconstruct(residues: Sequence[int], moduli: Sequence[int]) -> int:
+    """CRT recombination to the canonical representative in [0, prod q_i).
+
+    Semantics of ``/root/reference/src/crt.jl:98-112``.
+    """
+    q = math.prod(moduli)
+    x = 0
+    for r, qi in zip(residues, moduli):
+        qhat = q // qi
+        x += (int(r) * invmod(qhat, qi) % qi) * qhat
+    return x % q
+
+
+def centered(x: int, q: int) -> int:
+    """Centered representative in (-q/2, q/2].
+
+    ``SignedMod`` semantics (``/root/reference/src/signedmod.jl:12-19``):
+    values strictly greater than q ÷ 2 (floor) map down by q.
+    """
+    x = x % q
+    return x - q if x > q // 2 else x
+
+
+def divround(a: int, b: int) -> int:
+    """Round-to-nearest division, ties away from zero.
+
+    ``div(x, y, RoundNearestTiesAway)`` semantics
+    (``/root/reference/src/div_hacks.jl:104-151``), for b > 0.
+    """
+    if a >= 0:
+        return (2 * a + b) // (2 * b)
+    return -((-2 * a + b) // (2 * b))
