@@ -1,0 +1,64 @@
+"""Encrypted-CNN end-to-end test (scaled-down encrypted_mnist workload).
+
+Mirrors the reference's two key assertions (infer.jl:92, :179-207):
+  1. the plaintext model restructured for homomorphic evaluation equals
+     the direct forward pass;
+  2. encrypted inference produces the same labels as the plaintext model.
+
+Scaled geometry for CPU: 14×14 images, 5×5 kernel stride 3 → 4×4 = 16
+positions, N=2^9 ring → 16-image batch, 2 channels.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from toyfhe_tpu.models import mnist as M
+
+
+SMALL = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
+                      ring_logn=9,
+                      limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
+                      scale_log2=28)
+
+
+def test_geometry():
+    assert SMALL.positions == 16
+    assert SMALL.batch == 16
+    assert SMALL.features == 32
+
+
+def test_plain_model_trains():
+    params, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=200)
+    assert acc > 0.9, acc
+
+
+def test_preprocess_matches_patches():
+    cfg = SMALL
+    key = jax.random.PRNGKey(1)
+    imgs, _ = M.synthetic_dataset(cfg, key, cfg.batch)
+    I = M.public_preprocess(cfg, np.asarray(imgs))
+    pt = np.asarray(M._patches(cfg, imgs))        # [B, P, k*k]
+    for i in range(cfg.kernel):
+        for j in range(cfg.kernel):
+            expect = pt[:, :, i * cfg.kernel + j].T.reshape(-1)
+            np.testing.assert_allclose(I[i, j], expect, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_encrypted_inference_label_agreement():
+    cfg = SMALL
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, acc = M.train(cfg, kt, steps=200)
+    imgs, labels = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
+    imgs = np.asarray(imgs)
+
+    plain_logits = np.asarray(M.model_forward(cfg, params, imgs))  # [B, classes]
+    setup = M.fhe_setup(cfg, kf)
+    enc_logits = M.encrypted_inference(setup, params, imgs, ke)    # [classes, B]
+
+    err = np.abs(enc_logits.T - plain_logits).max()
+    assert err < 0.5, err           # absolute precision sanity
+    # the reference's headline assertion: encrypted labels == plain labels
+    # (infer.jl:179-207)
+    assert np.array_equal(np.argmax(enc_logits.T, -1), np.argmax(plain_logits, -1))

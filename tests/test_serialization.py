@@ -1,0 +1,31 @@
+"""Key/ciphertext persistence round-trips (new capability vs reference)."""
+
+from fractions import Fraction
+
+import jax
+import numpy as np
+
+import toyfhe_tpu as F
+from toyfhe_tpu.utils import serialization as ser
+
+
+def test_roundtrip(tmp_path):
+    ring = F.make_rns_ring(32, (30, 29, 29))   # q must exceed scale² = 2^80
+    params = F.CKKSParams(ring, 4, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    kp = F.keygen(params, ks[0])
+    vals = np.arange(1, 17, dtype=np.float64)
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 40), ks[1])
+
+    ser.save_keypair(str(tmp_path / "kp.npz"), kp)
+    ser.save_ciphertext(str(tmp_path / "ct.npz"), c)
+
+    kp2 = ser.load_keypair(str(tmp_path / "kp.npz"), params)
+    c2 = ser.load_ciphertext(str(tmp_path / "ct.npz"), params)
+    np.testing.assert_allclose(F.decrypt(kp2, c2).real, vals, atol=1e-6)
+
+    ek = F.keygen_eval_mult(ks[2], kp.priv)
+    ser.save_keyswitch_key(str(tmp_path / "ek.npz"), ek.key)
+    ek2 = F.EvalMultKey(ser.load_keyswitch_key(str(tmp_path / "ek.npz"), params))
+    y = F.keyswitch(ek2, F.ct_mul(c, c))
+    np.testing.assert_allclose(F.decrypt(kp, y).real, vals ** 2, atol=1e-2)

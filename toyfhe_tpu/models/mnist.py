@@ -1,0 +1,283 @@
+"""Encrypted CNN inference (layer L6) — the end-to-end flagship workload.
+
+Rebuilds ``/root/reference/examples/encrypted_mnist/``: a small CNN with
+x² activations (conv → square → dense → square → dense, [JKLS19]-style)
+evaluated homomorphically under CKKS with the special-prime modifier.
+
+Pipeline structure mirrors ``infer.jl``:
+  * ``public_preprocess``      — batch → k×k grid of patch-position
+    vectors packed so each ciphertext holds (batch × positions) slots
+    (infer.jl:58-65);
+  * conv = plain-scalar muls + adds over the grid + bias + rescale
+    (infer.jl:126-130);
+  * square = ct·ct → relinearize → rescale (infer.jl:135-137);
+  * dense = rotation-based diagonal matmul, one Galois rotation per
+    matrix column block (infer.jl:141-150);
+  * final rectangular matmul by zero-padding (infer.jl:169-176).
+
+The geometry is parameterized (`MNISTConfig`) so the same pipeline runs
+full-size (28×28 images, N=2^13, 49 ciphertexts, 64 rotations — the
+reference shape) and scaled-down for CPU tests. Training uses optax on
+either real MNIST (if a local copy exists) or synthetic class-patterned
+data — this zero-egress environment cannot download datasets; the
+pipeline and plain/encrypted label-agreement checks are dataset-
+independent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import toyfhe_tpu as F
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MNISTConfig:
+    image: int = 28          # image side
+    kernel: int = 7          # conv kernel side
+    stride: int = 3
+    channels: int = 4
+    classes: int = 10
+    ring_logn: int = 13      # CKKS ring: N = 2^logn, slots = N/2
+    # Tower shape mirrors infer.jl:97-110's (60, 40×5, special) re-planned
+    # to <2^31 limbs: two 30-bit bottom limbs play the big-q₀ role (the
+    # final ciphertext lives at scale² ≈ 2^56, so the surviving bottom
+    # tower must exceed it), 28-bit limbs are consumed by rescales, the
+    # last 30-bit limb is the special prime.
+    limb_bits: Tuple[int, ...] = (30, 30, 28, 28, 28, 28, 28, 30)
+    scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
+
+    @property
+    def positions(self) -> int:            # conv output positions per image
+        side = (self.image - self.kernel) // self.stride + 1
+        return side * side
+
+    @property
+    def grid(self) -> int:
+        return self.kernel
+
+    @property
+    def batch(self) -> int:
+        # slots = batch * positions
+        return (1 << self.ring_logn) // 2 // self.positions
+
+    @property
+    def features(self) -> int:
+        return self.channels * self.positions
+
+
+def init_params(cfg: MNISTConfig, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = cfg.positions
+    f = cfg.features
+    return {
+        "conv_w": jax.random.normal(k1, (cfg.kernel, cfg.kernel, cfg.channels)) * 0.2,
+        "conv_b": jnp.zeros((cfg.channels,)),
+        "w1": jax.random.normal(k2, (d, f)) * (1.0 / np.sqrt(f)),
+        "b1": jnp.zeros((d,)),
+        "w2": jax.random.normal(k3, (cfg.classes, d)) * (1.0 / np.sqrt(d)),
+        "b2": jnp.zeros((cfg.classes,)),
+    }
+
+
+def _patches(cfg: MNISTConfig, batch):
+    """[B, H, W] -> [B, positions, kernel*kernel] stride-cropped patches."""
+    side = (cfg.image - cfg.kernel) // cfg.stride + 1
+    rows = []
+    for i in range(side):
+        for j in range(side):
+            rows.append(batch[:, i * cfg.stride: i * cfg.stride + cfg.kernel,
+                              j * cfg.stride: j * cfg.stride + cfg.kernel]
+                        .reshape(batch.shape[0], -1))
+    return jnp.stack(rows, axis=1)
+
+
+def model_forward(cfg: MNISTConfig, params, batch):
+    """Plaintext forward pass, structured exactly like the encrypted one
+    (the reference asserts this equivalence, infer.jl:92)."""
+    pt = _patches(cfg, batch)                       # [B, P, k*k]
+    w = params["conv_w"].reshape(-1, cfg.channels)  # [k*k, C]
+    conv = jnp.einsum("bpk,kc->bpc", pt, w) + params["conv_b"]
+    sq1 = conv ** 2
+    # feature layout: channel-major blocks of positions (reshape_and_vcat,
+    # infer.jl:40-46)
+    feats = jnp.concatenate([sq1[:, :, c] for c in range(cfg.channels)], axis=1)
+    fq1 = feats @ params["w1"].T + params["b1"]
+    sq2 = fq1 ** 2
+    return sq2 @ params["w2"].T + params["b2"]
+
+
+def synthetic_dataset(cfg: MNISTConfig, key, n: int):
+    """Deterministic class-patterned images + noise (dataset stand-in)."""
+    kimg, klbl, knoise = jax.random.split(key, 3)
+    labels = jax.random.randint(klbl, (n,), 0, cfg.classes)
+    protos = jax.random.normal(kimg, (cfg.classes, cfg.image, cfg.image))
+    imgs = protos[labels] + 0.3 * jax.random.normal(knoise, (n, cfg.image, cfg.image))
+    return imgs, labels
+
+
+def train(cfg: MNISTConfig, key, steps: int = 300, lr: float = 1e-3,
+          data=None):
+    """Train the x²-CNN (train.jl role) with optax Adam."""
+    import optax
+
+    kp, kd = jax.random.split(key)
+    params = init_params(cfg, kp)
+    if data is None:
+        data = synthetic_dataset(cfg, kd, 512)
+    imgs, labels = data
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            logits = model_forward(cfg, p, imgs)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state2 = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state2, loss
+
+    for i in range(steps):
+        params, state, loss = step(params, state)
+    acc = (jnp.argmax(model_forward(cfg, params, imgs), -1) == labels).mean()
+    return params, float(acc)
+
+
+# ---------------------------------------------------------------------------
+# encrypted inference (infer.jl:94-177)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FHESetup:
+    cfg: MNISTConfig
+    params: "F.ModulusRaised"
+    kp: "F.KeyPair"
+    ek: "F.EvalMultKey"
+    gk: "F.GaloisKey"
+    scale: Fraction
+
+
+def fhe_setup(cfg: MNISTConfig, rng) -> FHESetup:
+    ring = F.make_rns_ring(1 << cfg.ring_logn, cfg.limb_bits)
+    params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    ks = jax.random.split(rng, 3)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    gk = F.keygen_galois(ks[2], kp.priv, steps=cfg.batch)
+    return FHESetup(cfg, params, kp, ek, gk, Fraction(2) ** cfg.scale_log2)
+
+
+def public_preprocess(cfg: MNISTConfig, batch: np.ndarray) -> np.ndarray:
+    """[B, H, W] -> [k, k] grid of slot vectors of length B·positions,
+    images fastest (infer.jl:58-65)."""
+    b = np.asarray(batch)
+    side = (cfg.image - cfg.kernel) // cfg.stride + 1
+    out = np.zeros((cfg.kernel, cfg.kernel, cfg.batch * cfg.positions))
+    for i in range(cfg.kernel):
+        for j in range(cfg.kernel):
+            # value of pixel (i,j) within each patch, for every (image, pos)
+            vals = np.stack(
+                [b[:, pi * cfg.stride + i, pj * cfg.stride + j]
+                 for pi in range(side) for pj in range(side)], axis=1)
+            out[i, j] = vals.T.reshape(-1)             # images fastest
+    return out
+
+
+def _rep_inner(vec, inner):
+    return np.repeat(np.asarray(vec), inner)
+
+
+def encrypted_matmul(setup: FHESetup, weights: np.ndarray, x):
+    """Rotation-based diagonal matmul (infer.jl:141-150): d rotations by
+    `batch` slots, diagonal weights repeated `inner=batch`."""
+    d = weights.shape[1]
+    result = F.mul_plain_vector(x, _rep_inner(np.diag(weights), setup.cfg.batch))
+    rotated = x
+    for k in range(1, d):
+        rotated = F.rotate(setup.gk, rotated)
+        diag = np.diag(np.roll(weights, k, axis=1))
+        result = F.ct_add(result, F.mul_plain_vector(
+            rotated, _rep_inner(diag, setup.cfg.batch)))
+    return result
+
+
+def naive_rectangular_matmul(setup: FHESetup, weights: np.ndarray, x):
+    """Zero-pad a short-fat matrix to square then diagonal matmul
+    (infer.jl:169-173)."""
+    r, c = weights.shape
+    assert r < c
+    wpad = np.vstack([weights, np.zeros((c - r, c))])
+    return encrypted_matmul(setup, wpad, x)
+
+
+def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
+                        rng):
+    """Full encrypted forward pass (infer.jl:115-177). Returns the
+    decrypted logits matrix [classes, B]."""
+    cfg = setup.cfg
+    ring = setup.params.ring_cipher
+    I = public_preprocess(cfg, batch)
+
+    # encrypt the k×k ciphertext grid (infer.jl:120-124)
+    keys = jax.random.split(rng, cfg.kernel * cfg.kernel)
+    C = {}
+    for i in range(cfg.kernel):
+        for j in range(cfg.kernel):
+            pt = F.make_plaintext(ring, I[i, j], setup.scale)
+            C[(i, j)] = F.encrypt(setup.kp, pt, keys[i * cfg.kernel + j])
+
+    # conv: plain-scalar muls + adds per output channel (infer.jl:126-130)
+    w = np.asarray(model_params["conv_w"])
+    bconv = np.asarray(model_params["conv_b"])
+    conved = []
+    for c in range(cfg.channels):
+        acc = None
+        for i in range(cfg.kernel):
+            for j in range(cfg.kernel):
+                term = F.mul_plain_scalar(C[(i, j)], float(w[i, j, c]))
+                acc = term if acc is None else F.ct_add(acc, term)
+        acc = F.add_plain(acc, float(bconv[c]))
+        conved.append(F.ct_rescale(acc))
+
+    # square + relin + rescale (infer.jl:135-137)
+    sqed1 = [F.ct_rescale(F.keyswitch(setup.ek, F.ct_mul(x, x)))
+             for x in conved]
+
+    # dense1: sum of per-channel-block diagonal matmuls (infer.jl:158-160)
+    w1 = np.asarray(model_params["w1"])
+    d = cfg.positions
+    fq1 = None
+    for ci in range(cfg.channels):
+        blk = w1[:, ci * d:(ci + 1) * d]
+        part = encrypted_matmul(setup, blk, sqed1[ci])
+        fq1 = part if fq1 is None else F.ct_add(fq1, part)
+    fq1 = F.add_plain(fq1, _rep_inner(np.asarray(model_params["b1"]), cfg.batch))
+    fq1 = F.ct_rescale(fq1)
+
+    # square (infer.jl:165-167)
+    sqed2 = F.ct_rescale(F.keyswitch(setup.ek, F.ct_mul(fq1, fq1)))
+
+    # dense2: rectangular matmul + bias (infer.jl:169-177)
+    w2 = np.asarray(model_params["w2"])
+    out = naive_rectangular_matmul(setup, w2, sqed2)
+    b2pad = np.concatenate([np.asarray(model_params["b2"]),
+                            np.zeros(d - cfg.classes)])
+    out = F.add_plain(out, _rep_inner(b2pad, cfg.batch))
+
+    dec = F.decrypt(setup.kp, out).real
+    # rows = positions (class index in first `classes`), cols = images
+    mat = dec.reshape(cfg.positions, cfg.batch)
+    return mat[:cfg.classes, :]

@@ -1,0 +1,179 @@
+"""Sharded FHE ops: shard_map bodies for the hot encrypted pipeline.
+
+The flagship multi-chip step (dryrun + scaling bench) is
+``square_relin_rescale``: homomorphic square → key-switch
+(relinearization) → rescale, on a batch of CKKS ciphertexts with
+
+  * batch axis on the 'dp' mesh axis,
+  * RNS limb axis on the 'rp' mesh axis (residue parallelism).
+
+Collective sites (exactly the reference's cross-limb data flows,
+SURVEY §5.8):
+  * gadget decomposition needs every limb's centered digit lift on every
+    shard → one ``all_gather`` over 'rp' of int32[L, N]
+    (rlwe_she.jl:340-344);
+  * rescale needs the dropped limb's residues on all shards → one
+    ``all_gather`` of the last local row (crt.jl:215-220).
+
+Shapes stay static under sharding: rescale masks the dropped limb to
+zero instead of shrinking the tensor (tower-length is static host-side
+metadata; SURVEY §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import modmath
+from . import sharding as S
+
+
+def _mp(tabs):
+    return S._mk_mp(tabs)
+
+
+def _mulmod_t(a, b, tabs):
+    """Ordinary-form modular product with tables (2 REDC passes).
+    Needs r2; recompute from p via hosting? r2 must ride in tabs."""
+    return modmath.mul_mod(a, b, _mp_full(tabs))
+
+
+def _mp_full(tabs):
+    from ..ops.modmath import MontParams
+    return MontParams(p=tabs["p"], ninv=tabs["ninv"], r2=tabs["r2"],
+                      r1=tabs["r1"], half=(tabs["p"] - 1) // 2)
+
+
+def full_table_pytree(tables) -> dict:
+    d = S.ntt_table_pytree(tables)
+    d["r2"] = jnp.asarray(tables.mp.r2)
+    d["r1"] = jnp.asarray(tables.mp.r1)
+    return d
+
+
+def full_table_specs() -> dict:
+    d = S.table_specs()
+    d["r2"] = P("rp", None)
+    d["r1"] = P("rp", None)
+    return d
+
+
+def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
+                                tabs, axis_name=None):
+    """Square → relinearize → rescale on ciphertext duals.
+
+    With ``axis_name`` set this is a shard_map body over the 'rp' limb
+    axis; with ``axis_name=None`` it is the single-chip step (collectives
+    become identities). Per-shard shapes:
+      c:            uint32[B, 2, L_loc, N]   ciphertext duals
+      key_masks:    uint32[L, L_loc, N]      relin key mask duals (digit-major)
+      key_maskeds:  uint32[L, L_loc, N]
+      rescale_inv:  uint32[L_loc, 1]         (q_last^{-1} mod q_j, Montgomery)
+      tabs:         NTT table pytree sliced to the local limbs
+    Returns uint32[B, 2, L_loc, N] rescaled ciphertext duals with the
+    dropped limb zeroed.
+    """
+    mp = _mp_full(tabs)
+    c1, c2 = c[:, 0], c[:, 1]
+    # --- homomorphic square: tensor product (rlwe_she.jl:255-258) ---
+    d1 = _mulmod_t(c1, c1, tabs)
+    mid = _mulmod_t(c1, c2, tabs)
+    d2 = modmath.add_mod(mid, mid, mp)
+    d3 = _mulmod_t(c2, c2, tabs)
+
+    # --- relinearize d3 back onto (d1, d2) ---
+    # primal of d3, centered lift of local limbs, share with all shards
+    d3p = S.intt_p(d3, tabs)
+    lifts = modmath.centered(d3p, mp)                       # int32[B, L_loc, N]
+    if axis_name is not None:
+        all_lifts = jax.lax.all_gather(lifts, axis_name, axis=1, tiled=True)
+    else:
+        all_lifts = lifts
+    # digits for local limbs: [B, L, L_loc, N]
+    digs = modmath.from_signed(all_lifts[..., :, None, :], mp)
+    digs = S.ntt_p(digs, tabs)
+    acc1 = modmath.mod_sum(_mulmod_t(digs, key_maskeds, tabs), mp, axis=-3)
+    acc2 = modmath.mod_sum(_mulmod_t(digs, key_masks, tabs), mp, axis=-3)
+    r1 = modmath.add_mod(d1, acc1, mp)
+    r2 = modmath.add_mod(d2, acc2, mp)
+    out = jnp.stack([r1, r2], axis=1)                       # [B, 2, L_loc, N]
+
+    # --- rescale by the last limb (crt.jl:215-220), static shapes ---
+    outp = S.intt_p(out, tabs)
+    last_local = outp[..., -1:, :]                          # [B, 2, 1, N]
+    if axis_name is not None:
+        idx = jax.lax.axis_index(axis_name)
+        nsh = jax.lax.axis_size(axis_name)
+        last_rows = jax.lax.all_gather(last_local, axis_name, axis=2, tiled=True)
+        last = last_rows[..., -1:, :]                       # global last limb
+    else:
+        idx, nsh = 0, 1
+        last = last_local
+    last_mod = modmath.umod(last, mp.p)
+    diff = modmath.sub_mod(outp, last_mod, mp)
+    res = modmath.mont_mul(diff, rescale_inv, mp)
+    # zero the dropped limb on its owning shard
+    limb_ids = idx * mp.p.shape[0] + jnp.arange(mp.p.shape[0])
+    L_glob = nsh * mp.p.shape[0]
+    keep = (limb_ids < L_glob - 1)[:, None]
+    res = jnp.where(keep, res, 0)
+    return S.ntt_p(res, tabs)
+
+
+def make_single_chip_step(tables, key_masks, key_maskeds):
+    """Jitted single-chip square→relin→rescale step (entry-point /
+    benchmark flavor of the sharded step)."""
+    tabs = full_table_pytree(tables)
+    qk = tables.primes[-1]
+    rescale_inv = np.array(
+        [[pow(qk, -1, p) * (1 << 32) % p if p != qk else 0]
+         for p in tables.primes], dtype=np.uint64).astype(np.uint32)
+    km = jnp.asarray(key_masks)
+    kd = jnp.asarray(key_maskeds)
+
+    def step(c):
+        return _square_relin_rescale_local(c, km, kd, jnp.asarray(rescale_inv), tabs)
+
+    return jax.jit(step)
+
+
+def make_sharded_step(mesh: Mesh, tables, key_masks, key_maskeds):
+    """Build the jitted sharded square→relin→rescale step for a ring.
+
+    key_masks/key_maskeds: uint32[ndig=L, L, N] dual tensors (host side).
+    Returns (step_fn, place) where step_fn(c[B,2,L,N]) -> same shape and
+    place(x) shards an input batch onto the mesh.
+    """
+    tabs = full_table_pytree(tables)
+    L = len(tables.primes)
+    qk = tables.primes[-1]
+    rescale_inv = np.array(
+        [[pow(qk, -1, p) * (1 << 32) % p if p != qk else 0]
+         for p in tables.primes], dtype=np.uint64).astype(np.uint32)
+
+    data_spec = P("dp", None, "rp", None)
+    key_spec = P(None, "rp", None)
+    tab_specs = full_table_specs()
+
+    body = functools.partial(_square_relin_rescale_local, axis_name="rp")
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(data_spec, key_spec, key_spec, P("rp", None), tab_specs),
+        out_specs=data_spec,
+        check_vma=False)
+    jfn = jax.jit(lambda c, km, kd: fn(c, km, kd, jnp.asarray(rescale_inv), tabs))
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, data_spec))
+
+    def step(c):
+        return jfn(c, jnp.asarray(key_masks), jnp.asarray(key_maskeds))
+
+    return step, place
