@@ -1,0 +1,44 @@
+"""Pallas fused-kernel correctness vs the XLA path (interpret mode on CPU;
+the same kernels compile for TPU and are benchmarked in bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toyfhe_tpu.ops import modmath, ntt as nttmod
+from toyfhe_tpu.ops import ntt_pallas as npal
+from toyfhe_tpu.utils import numtheory as nt
+
+
+@pytest.fixture(scope="module")
+def rings():
+    n, L, R = 256, 2, 8
+    t = nttmod.NttTables(n, nt.ntt_prime_chain(n, (29, 28)))
+    pt = npal.PallasNttTables(t)
+    rng = np.random.default_rng(0)
+    a = np.stack([np.stack([rng.integers(0, p, n, dtype=np.uint32)
+                            for _ in range(R)]) for p in t.primes])
+    b = np.stack([np.stack([rng.integers(0, p, n, dtype=np.uint32)
+                            for _ in range(R)]) for p in t.primes])
+    return t, pt, a, b
+
+
+def test_fused_polymul(rings):
+    t, pt, a, b = rings
+    at = jnp.asarray(a.transpose(1, 0, 2))
+    bt = jnp.asarray(b.transpose(1, 0, 2))
+    ref = np.asarray(nttmod.intt(
+        t, modmath.mul_mod(nttmod.ntt(t, at), nttmod.ntt(t, bt), t.mp))
+    ).transpose(1, 0, 2)
+    got = np.asarray(npal.polymul_pallas(pt, jnp.asarray(a), jnp.asarray(b),
+                                         8, True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fwd_bitrev(rings):
+    t, pt, a, _ = rings
+    nat = np.asarray(nttmod.ntt(t, jnp.asarray(a.transpose(1, 0, 2)))
+                     ).transpose(1, 0, 2)
+    brev = nttmod._bitrev_perm(t.n)
+    got = np.asarray(npal.ntt_pallas_bitrev(pt, jnp.asarray(a), 8, True))
+    np.testing.assert_array_equal(got, nat[:, :, brev])

@@ -18,11 +18,12 @@ from .core.plain import (PlainRing, PlainPoly, scalar_encode, scalar_decode,
                          slot_encode, slot_decode)
 from .core.rlwe import (SchemeParams, PassthroughParams, PrivKey, PubKey,
                         KeyPair, KeySwitchKey, EvalMultKey, GaloisKey,
-                        CipherText, UsageError,
+                        GaloisKeys, CipherText, UsageError, RingElt,
                         keygen, encrypt, decrypt, ct_add, ct_sub, ct_mul,
                         ct_add_ring, keyswitch, rotate, make_eval_key,
-                        keygen_eval_mult, keygen_galois, apply_galois_ct,
-                        ct_modswitch_drop, ct_rescale, decrypt_raw)
+                        keygen_eval_mult, keygen_galois, keygen_galois_set,
+                        apply_galois_ct, ct_modswitch_drop, ct_rescale,
+                        decrypt_raw, galois_element_for_steps)
 from .core.bfv import BFVParams, bfv_params, invariant_noise_budget
 from .core.bgv import BGVParams
 from .core.ckks import CKKSParams
@@ -31,6 +32,8 @@ from .core.ckks_encoding import (CKKSPlaintext, CKKSTag, make_plaintext,
                                  mul_plain_vector, add_plain)
 from .core.modraise import ModulusRaised
 from .core.insecure import InsecureDebug
+from .core.noise import bgv_noise_budget, ckks_precision, ckks_scale_bits
 from .core import cryptparams
+from .utils import metrics, serialization
 
 __version__ = "0.1.0"

@@ -63,12 +63,18 @@ class BFVParams(SchemeParams):
         return RingElt(primal=modmath.mul_mod(
             m, jnp.asarray(self._delta_res), self._ring.mp))
 
-    # π: centered-round by Δ then centered mod p (bfv.jl:26-29) — host
+    # π: centered-round by Δ then centered mod p (bfv.jl:26-29) — host,
+    # native C++ CRT path with exact Python fallback
     def decode(self, b: RingElt, ring: RingContext) -> PlainPoly:
         b = R.ensure_primal(ring, b)
-        xs = ring.to_bigint(np.asarray(b.primal))
-        q = ring.modulus
+        arr = np.asarray(b.primal)
+        nat = ring.native()
         p = self.plain.p
+        if nat is not None:
+            out = nat.decode_bfv(arr, self.delta, p)
+            return PlainPoly(self.plain, out)
+        xs = ring.to_bigint(arr)
+        q = ring.modulus
         out = np.zeros(ring.n, dtype=np.int64)
         for j, x in enumerate(xs):
             xc = nt.centered(x, q)
@@ -170,14 +176,19 @@ def invariant_noise_budget(key, c: CipherText) -> float:
     b = decrypt_raw(priv, c)
     ring = c.ring
     b = R.ensure_primal(ring, b)
-    xs = ring.to_bigint(np.asarray(b.primal))
+    arr = np.asarray(b.primal)
     delta = params.delta
     q = ring.modulus
     p = params.plain.p
+    nat = ring.native()
+    if nat is not None:
+        worst = nat.noise_worst(arr, delta)
+    else:
+        xs = ring.to_bigint(arr)
 
-    def birem(x):
-        r = x % delta
-        return delta - r if r > delta // 2 else r
+        def birem(x):
+            r = x % delta
+            return delta - r if r > delta // 2 else r
 
-    worst = max(max(birem(x), 1) for x in xs)
+        worst = max(max(birem(x), 1) for x in xs)
     return math.log2(q) - math.log2(p) - 1 - math.log2(worst)

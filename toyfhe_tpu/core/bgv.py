@@ -44,9 +44,13 @@ class BGVParams(SchemeParams):
 
     def decode(self, b: RingElt, ring: RingContext) -> PlainPoly:
         b = R.ensure_primal(ring, b)
-        xs = ring.to_bigint(np.asarray(b.primal))
-        q = ring.modulus
+        arr = np.asarray(b.primal)
         p = self.plain.p
+        nat = ring.native()
+        if nat is not None:
+            return PlainPoly(self.plain, nat.decode_centered_mod(arr, p))
+        xs = ring.to_bigint(arr)
+        q = ring.modulus
         out = np.array([nt.centered(x, q) % p for x in xs], dtype=np.int64)
         return PlainPoly(self.plain, out)
 

@@ -123,9 +123,14 @@ def ckks_decode(ring: RingContext, re: RingElt, scale: ScaleLike) -> np.ndarray:
     n = ring.n
     scale = Fraction(scale)
     re = R.ensure_primal(ring, re)
-    xs = ring.to_bigint(np.asarray(re.primal))
-    q = ring.modulus
-    vals = np.array([float(Fraction(nt.centered(x, q)) / scale) for x in xs])
+    arr = np.asarray(re.primal)
+    nat = ring.native()
+    if nat is not None:
+        vals = nat.decode_centered_double(arr) / float(scale)
+    else:
+        xs = ring.to_bigint(arr)
+        q = ring.modulus
+        vals = np.array([float(Fraction(nt.centered(x, q)) / scale) for x in xs])
     k = np.arange(n)
     multed = vals * np.exp(-2j * np.pi * k / (2 * n))
     f = np.fft.fft(multed)

@@ -104,6 +104,17 @@ class RingContext:
             self._galois_cache[g] = nttmod.galois_perm_tables(self.n, g)
         return self._galois_cache[g]
 
+    # ---- native host runtime (C++ CRT decode paths) ----
+    def native(self):
+        """CrtNative for this tower, or None if the toolchain is absent."""
+        if "native" not in self._rescale_cache:
+            try:
+                from ..native import CrtNative
+                self._rescale_cache["native"] = CrtNative(self.primes)
+            except Exception:
+                self._rescale_cache["native"] = None
+        return self._rescale_cache["native"]
+
     # ---- host-side exact CRT (debug/decode path) ----
     def to_bigint(self, primal: np.ndarray) -> list:
         """CRT-reconstruct uint32[L, N] residues to Python ints in [0, q)."""
@@ -190,12 +201,16 @@ def zero_like(ring: RingContext, x: RingElt) -> RingElt:
 def ensure_primal(ring: RingContext, x: RingElt) -> RingElt:
     if x.primal is not None:
         return x
+    from ..utils import metrics
+    metrics.count("ntt_limb_transform", int(np.prod(x.dual.shape[:-1])))
     return RingElt(primal=nttmod.intt(ring.tables, x.dual), dual=x.dual)
 
 
 def ensure_dual(ring: RingContext, x: RingElt) -> RingElt:
     if x.dual is not None:
         return x
+    from ..utils import metrics
+    metrics.count("ntt_limb_transform", int(np.prod(x.primal.shape[:-1])))
     return RingElt(primal=x.primal, dual=nttmod.ntt(ring.tables, x.primal))
 
 

@@ -185,6 +185,23 @@ class GaloisKey:
 
 
 @dataclasses.dataclass
+class GaloisKeys:
+    """Collection of galois keys for various rotation steps
+    (rlwe_she.jl:105-109), addressable by galois element."""
+
+    keys: List[GaloisKey]
+
+    def for_element(self, galois_element: int) -> GaloisKey:
+        for k in self.keys:
+            if k.galois_element == galois_element:
+                return k
+        raise KeyError(f"no galois key for element {galois_element}")
+
+    def for_steps(self, n: int, steps: int) -> GaloisKey:
+        return self.for_element(galois_element_for_steps(n, steps))
+
+
+@dataclasses.dataclass
 class KeyPair:
     priv: PrivKey
     pub: PubKey
@@ -356,6 +373,8 @@ def enc_mul(c1: CipherText, c2: CipherText) -> Tuple[RingContext, Tuple[RingElt,
     """Tensor product with scheme expand/contract hooks (rlwe_she.jl:247-262)."""
     if c1.params is not c2.params:
         raise UsageError("Attempting to multiply ciphertexts with differing parameters")
+    from ..utils import metrics
+    metrics.count("enc_mul")
     params = c1.params
     ring, (a, b) = params.mul_expand_pair(c1, c2)
     out: List[Optional[RingElt]] = [None] * (len(a) + len(b) - 1)
@@ -480,6 +499,15 @@ def galois_element_for_steps(n: int, steps: int) -> int:
     return pow(3, -steps, m)
 
 
+def keygen_galois_set(rng, priv: PrivKey, steps_list) -> GaloisKeys:
+    """Generate a set of rotation keys (GaloisKeys, rlwe_she.jl:105-109)."""
+    keys = []
+    for s in steps_list:
+        rng, k = jax.random.split(rng)
+        keys.append(keygen_galois(k, priv, steps=s))
+    return GaloisKeys(keys)
+
+
 def keygen_galois(rng, priv: PrivKey, steps: Optional[int] = None,
                   galois_element: Optional[int] = None) -> GaloisKey:
     assert (steps is None) != (galois_element is None)
@@ -531,6 +559,9 @@ def keyswitch(ek, c: CipherText) -> CipherText:
     window = params.relin_window
     digits = gadget_decompose(ring, exp_ring, c.cs[-1], window)   # [ndig, Lt, N]
     from ..ops import ntt as nttmod
+    from ..utils import metrics
+    metrics.count("keyswitch")
+    metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
     ddual = nttmod.ntt(exp_ring.tables, digits)
 
     # select key limbs matching the (expanded) ciphertext tower; after
@@ -582,7 +613,13 @@ def apply_galois_ct(c: CipherText, galois_element: int) -> CipherText:
     return CipherText(c.params, cs, c.ring, enc=c.enc)
 
 
-def rotate(gk: GaloisKey, c: CipherText) -> CipherText:
+def rotate(gk, c: CipherText, steps: Optional[int] = None) -> CipherText:
+    """Slot rotation = galois apply + key switch (rlwe_she.jl:355-360).
+    Accepts a GaloisKey, or a GaloisKeys collection with ``steps``."""
+    if isinstance(gk, GaloisKeys):
+        gk = gk.for_steps(c.ring.n, steps)
+    from ..utils import metrics
+    metrics.count("rotate")
     return keyswitch(gk, apply_galois_ct(c, gk.galois_element))
 
 
@@ -604,6 +641,8 @@ def ct_modswitch_drop(c: CipherText) -> CipherText:
 def ct_rescale(c: CipherText) -> CipherText:
     """CKKS modswitch: exact rescale by the dropped prime + scale division
     (ckksencoding.jl:126-130)."""
+    from ..utils import metrics
+    metrics.count("rescale")
     ring = c.ring
     cs = []
     sub = None
