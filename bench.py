@@ -64,21 +64,34 @@ def _bench_ntt(batch=16, L=8, n=1 << 14):
 
 
 def _bench_keyswitch(batch=4, L=7, n=1 << 13):
+    """Throughput of the fused square→relin→rescale step.
+
+    Operands are synthetic residues: modular-arithmetic cost is
+    value-independent, and generating real keys eagerly on the tunneled
+    TPU costs minutes (correctness of this exact step vs the sequential
+    engine is covered by tests/test_parallel.py)."""
     import jax
 
-    import __graft_entry__ as g
+    import toyfhe_tpu as F
     from toyfhe_tpu.parallel import ops as pops
 
-    ring, masks, maskeds, cts = g._build(n_ring=n, logqs=tuple([28] * L),
-                                         batch=batch)
+    ring = F.make_rns_ring(n, tuple([28] * L))
+    rng = np.random.default_rng(1)
+    lim = min(ring.primes)
+    masks = rng.integers(0, lim, (L, L, n)).astype(np.uint32)
+    maskeds = rng.integers(0, lim, (L, L, n)).astype(np.uint32)
+    cts = np.random.default_rng(2).integers(
+        0, lim, (batch, 2, L, n)).astype(np.uint32)
+    import jax.numpy as jnp
+    cts = jnp.asarray(cts)
 
     def chain(K):
         import jax.numpy as jnp
         tabs = pops.full_table_pytree(ring.tables)
-        qk = ring.tables.primes[-1]
+        qk = ring.primes[-1]
         rescale_inv = np.array(
             [[pow(qk, -1, p) * (1 << 32) % p if p != qk else 0]
-             for p in ring.tables.primes], dtype=np.uint64).astype(np.uint32)
+             for p in ring.primes], dtype=np.uint64).astype(np.uint32)
         km, kd = jnp.asarray(masks), jnp.asarray(maskeds)
 
         @jax.jit

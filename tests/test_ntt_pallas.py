@@ -42,3 +42,16 @@ def test_fwd_bitrev(rings):
     brev = nttmod._bitrev_perm(t.n)
     got = np.asarray(npal.ntt_pallas_bitrev(pt, jnp.asarray(a), 8, True))
     np.testing.assert_array_equal(got, nat[:, :, brev])
+
+
+def test_mxu_four_step(rings):
+    """MXU four-step NTT is bit-exact vs the radix-2 path (CPU check;
+    einsum digit dots run on any backend)."""
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    t, pt, a, _ = rings
+    mt = mxu.MxuNttTables(t)
+    at = jnp.asarray(a.transpose(1, 0, 2))
+    np.testing.assert_array_equal(
+        np.asarray(mxu.ntt_mxu(mt, at)), np.asarray(nttmod.ntt(t, at)))
+    np.testing.assert_array_equal(
+        np.asarray(mxu.intt_mxu(mt, at)), np.asarray(nttmod.intt(t, at)))

@@ -623,6 +623,15 @@ def rotate(gk, c: CipherText, steps: Optional[int] = None) -> CipherText:
     return keyswitch(gk, apply_galois_ct(c, gk.galois_element))
 
 
+def modswitch(c: CipherText, new_modulus=None) -> CipherText:
+    """Generic modulus switch. With no target, behaves like the CKKS
+    rescale path; arbitrary-target switching is not implemented — parity
+    with the reference, which raises here too (rlwe_she.jl:366-368)."""
+    if new_modulus is not None:
+        raise NotImplementedError("modswitch to an arbitrary modulus")
+    return ct_rescale(c)
+
+
 # ---------------------------------------------------------------------------
 # Modulus switching of whole ciphertexts (crt.jl:234-236, ckksencoding)
 # ---------------------------------------------------------------------------

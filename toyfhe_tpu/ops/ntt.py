@@ -20,8 +20,10 @@ REDC multiply.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -153,13 +155,18 @@ def _dft_stages(tables: NttTables, x, tw_list):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def ntt(tables: NttTables, x):
-    """Forward negacyclic NTT of uint32[..., L, N] (reference ``nntt``)."""
+    """Forward negacyclic NTT of uint32[..., L, N] (reference ``nntt``).
+
+    Jitted per (tables, shape): eager call sites pay one dispatch instead
+    of ~log2(N) op-by-op dispatches."""
     mp = tables.mp
     x = modmath.mont_mul(x, jnp.asarray(tables.psi_pow), mp)
     return _dft_stages(tables, x, tables.stage_tw)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def intt(tables: NttTables, x):
     """Inverse negacyclic NTT (reference ``inntt``)."""
     mp = tables.mp

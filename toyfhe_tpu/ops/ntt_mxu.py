@@ -1,0 +1,202 @@
+"""MXU (systolic-array) negacyclic NTT — the four-step formulation.
+
+The radix-2 NTT is VPU-compute-bound on TPU: every butterfly is a ~20-op
+uint32 Montgomery multiply built from 16-bit partial products, and the
+measured throughput sits at the integer-ALU roofline, ~50× short of HBM.
+The MXU does 128×128 int8 MACs at hundreds of TOPS — so the TPU-native
+NTT moves the O(N·128) work there.
+
+Four-step decomposition, N = N1·N2 (N1 = 128 = the MXU tile edge):
+
+    j = j1·N2 + j2,  k = k1 + N1·k2
+    A[k1, j2] = Σ_{j1} Xmat[j1, j2] · ω_{N1}^{j1·k1}        (matmul, MXU)
+    B[k1, j2] = A[k1, j2] · ω_N^{k1·j2}                      (twiddle, VPU)
+    C[k2, k1] = Σ_{j2} B[k1, j2] · ω_{N2}^{j2·k2}            (matmul, MXU)
+    X[k1 + N1·k2] = C[k2, k1]  — flattening C is already natural order.
+
+Exact modular matmuls on the MXU: operands are decomposed into four
+**balanced base-256 digits** (each in [−128, 127], fits int8); each digit
+pair multiplies exactly in int8→int32 MXU dots, and the 7 shifted
+digit-diagonals recombine on the VPU with a 64-bit (hi,lo) accumulation
+and two Montgomery reductions per element. Works for primes < 2^30.
+
+The ψ-twist/untwist and negacyclic semantics are identical to ops/ntt.py
+(reference nntt/inntt, pow2_cyc_rings.jl:295-318); outputs are bit-exact,
+natural order.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath
+from .modmath import U32, MontParams, mul32
+from .ntt import NttTables, _to_mont_np
+
+N1 = 128           # MXU tile edge
+_NDIG = 4
+_OFF = 1 << 23
+
+
+def _build_mat(p: int, w: int, rows: int, cols: int) -> np.ndarray:
+    """M[i, j] = w^{i·j} mod p as an object matrix (host, setup only)."""
+    out = np.zeros((rows, cols), dtype=object)
+    wr = 1
+    for i in range(rows):
+        v = 1
+        for j in range(cols):
+            out[i, j] = v
+            v = v * wr % p
+        wr = wr * w % p
+    return out
+
+
+def _balanced_digits_host(M: np.ndarray) -> np.ndarray:
+    """object matrix -> int8[4, ...] balanced base-256 digits (values must
+    be < 2^30 so four digits suffice)."""
+    digs = []
+    cur = M.astype(object)
+    for _ in range(_NDIG):
+        r = np.vectorize(lambda x: int(x) & 255)(cur).astype(np.int64)
+        r = np.where(r >= 128, r - 256, r)
+        cur = (cur - r) // 256
+        digs.append(r.astype(np.int8))
+    assert np.all(np.vectorize(int)(cur) == 0), "prime too large for 4 digits"
+    return np.stack(digs, 0)
+
+
+class MxuNttTables:
+    """Digit-decomposed DFT matrices + twiddles for the four-step NTT."""
+
+    def __init__(self, tables: NttTables):
+        n = tables.n
+        assert n % N1 == 0 and n >= N1
+        for p in tables.primes:
+            assert p < (1 << 30), "MXU path requires primes < 2^30"
+        n2 = n // N1
+        self.n, self.n2 = n, n2
+        self.primes = tables.primes
+        self.mp = tables.mp
+        L = len(tables.primes)
+        self.psi_pow = tables.psi_pow          # (L, N) Montgomery
+        self.psi_ipow = tables.psi_ipow
+
+        self.w1 = np.zeros((L, _NDIG, N1, N1), dtype=np.int8)
+        self.w1i = np.zeros((L, _NDIG, N1, N1), dtype=np.int8)
+        self.w2 = np.zeros((L, _NDIG, n2, n2), dtype=np.int8)
+        self.w2i = np.zeros((L, _NDIG, n2, n2), dtype=np.int8)
+        self.tw = np.zeros((L, N1, n2), dtype=np.uint32)
+        self.twi = np.zeros((L, N1, n2), dtype=np.uint32)
+        for l, (p, psi) in enumerate(zip(tables.primes, tables.psis)):
+            omega = psi * psi % p
+            iomega = pow(omega, -1, p)
+            self.w1[l] = _balanced_digits_host(_build_mat(p, pow(omega, n2, p), N1, N1))
+            self.w1i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, n2, p), N1, N1))
+            self.w2[l] = _balanced_digits_host(_build_mat(p, pow(omega, N1, p), n2, n2))
+            self.w2i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, N1, p), n2, n2))
+            self.tw[l] = _to_mont_np(_build_mat(p, omega, N1, n2), p)
+            self.twi[l] = _to_mont_np(_build_mat(p, iomega, N1, n2), p)
+
+        # digit-recombination constants (plain residues): c_s = 2^{8s} mod p
+        cs = np.zeros((2 * _NDIG - 1, L, 1, 1), dtype=np.uint32)
+        corr = np.zeros((L, 1, 1), dtype=np.uint32)
+        r1m = np.zeros((L, 1, 1), dtype=np.uint32)
+        him = np.zeros((L, 1, 1), dtype=np.uint32)
+        for l, p in enumerate(tables.primes):
+            tot = 0
+            for s in range(2 * _NDIG - 1):
+                cval = (1 << (8 * s)) % p
+                cs[s, l] = cval
+                tot += _OFF * cval
+            corr[l] = tot % p
+            r1m[l] = (1 << 32) % p             # mont_mul(lo, R mod p) = lo mod p
+            him[l] = pow(2, 64, p)             # mont_mul(hi, R² mod p) = hi·2^32 mod p
+        self.cs, self.corr = cs, corr
+        self.r1_mont, self.hi_mont = r1m, him
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _balanced_digits_device(x):
+    """uint32[...] -> int8[4, ...] balanced base-256 digits."""
+    digs = []
+    cur = x.astype(jnp.int32)
+    for _ in range(_NDIG):
+        r = cur & 255
+        r = jnp.where(r >= 128, r - 256, r)
+        cur = (cur - r) >> 8
+        digs.append(r.astype(jnp.int8))
+    return jnp.stack(digs, 0)
+
+
+def _mp3(mp: MontParams) -> MontParams:
+    return MontParams(p=mp.p[..., None], ninv=mp.ninv[..., None],
+                     r2=mp.r2[..., None], r1=mp.r1[..., None],
+                     half=mp.half[..., None])
+
+
+def _mod_matmul(mt: MxuNttTables, digits_x, w_digits, mp3):
+    """out[..., l, j, c] = Σ_k W[l, k, j]·X[..., l, k, c] mod p.
+
+    digits_x: int8[4, ..., L, K, C]; w_digits: int8[L, 4, K, J].
+    W matrices here are symmetric (Vandermonde of ω on both indices), so
+    this computes the DFT along the K axis.
+    """
+    groups = [None] * (2 * _NDIG - 1)
+    for d in range(_NDIG):
+        for e in range(_NDIG):
+            P = jnp.einsum("lkj,...lkc->...ljc", w_digits[:, d], digits_x[e],
+                           preferred_element_type=jnp.int32)
+            s = d + e
+            groups[s] = P if groups[s] is None else groups[s] + P
+    hi = lo = None
+    for s in range(2 * _NDIG - 1):
+        H = (groups[s] + jnp.int32(_OFF)).astype(U32)        # < 2^24
+        h, l = mul32(H, jnp.asarray(mt.cs[s]))
+        if hi is None:
+            hi, lo = h, l
+        else:
+            nl = lo + l
+            hi = hi + h + (nl < lo).astype(U32)
+            lo = nl
+    t1 = modmath.mont_mul(lo, jnp.asarray(mt.r1_mont), mp3)
+    t2 = modmath.mont_mul(hi, jnp.asarray(mt.hi_mont), mp3)
+    v = modmath.add_mod(t1, t2, mp3)
+    return modmath.sub_mod(v, jnp.broadcast_to(jnp.asarray(mt.corr), v.shape), mp3)
+
+
+def _four_step(mt: MxuNttTables, x, w1, w2, twiddle, psi, pre: bool):
+    n, n2 = mt.n, mt.n2
+    mp = mt.mp
+    mp3 = _mp3(mp)
+    lead = x.shape[:-2]
+    L = x.shape[-2]
+    if pre:
+        x = modmath.mont_mul(x, jnp.asarray(psi), mp)
+    xm = x.reshape(lead + (L, N1, n2))                       # Xmat[j1, j2]
+    a = _mod_matmul(mt, _balanced_digits_device(xm), jnp.asarray(w1), mp3)
+    b = modmath.mont_mul(a, jnp.asarray(twiddle), mp3)       # ⊙ ω^{k1·j2}
+    bt = jnp.swapaxes(b, -1, -2)                             # [..., L, j2, k1]
+    c = _mod_matmul(mt, _balanced_digits_device(bt), jnp.asarray(w2), mp3)
+    out = c.reshape(lead + (L, n))                           # [k2, k1] → natural
+    if not pre:
+        out = modmath.mont_mul(out, jnp.asarray(psi), mp)
+    return out
+
+
+def ntt_mxu(mt: MxuNttTables, x):
+    """Forward negacyclic NTT (natural order) — MXU four-step."""
+    return _four_step(mt, x, mt.w1, mt.w2, mt.tw, mt.psi_pow, pre=True)
+
+
+def intt_mxu(mt: MxuNttTables, x):
+    """Inverse negacyclic NTT (natural order) — MXU four-step."""
+    return _four_step(mt, x, mt.w1i, mt.w2i, mt.twi, mt.psi_ipow, pre=False)
