@@ -1,0 +1,108 @@
+"""Jitted encrypted layers vs the eager engine — bit-exact equivalence."""
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import toyfhe_tpu as F
+from toyfhe_tpu.core import ring as ringops
+from toyfhe_tpu.parallel import layers as L
+
+
+@pytest.fixture(scope="module")
+def setup():
+    N = 32
+    ring = F.make_rns_ring(N, (30, 29, 28, 29))     # 3 data limbs + special
+    params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    gk = F.keygen_galois(ks[2], kp.priv, steps=4)
+    scale = Fraction(2) ** 28
+    vals = np.linspace(0.5, 4.0, N // 2)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, scale), ks[3])
+    return params, kp, ek, gk, c, vals, scale
+
+
+def _primal(ring, c):
+    return [np.asarray(ringops.ensure_primal(ring, x).primal) for x in c.cs]
+
+
+def test_rotate_matmul_layer_bitexact(setup):
+    params, kp, ek, gk, c, vals, scale = setup
+    ct_ring = params.ring_cipher
+    d = 4
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(d, d))
+
+    # eager reference (encrypted_matmul, infer.jl:141-150 with tile)
+    nrep = ct_ring.n // 2 // d
+    res = F.mul_plain_vector(c, np.tile(np.diag(W), nrep))
+    rot = c
+    diags = [np.tile(np.diag(W), nrep)]
+    for k in range(1, d):
+        rot = F.rotate(gk, rot)
+        dk = np.tile(np.diag(np.roll(W, k, axis=1)), nrep)
+        diags.append(dk)
+        res = F.ct_add(res, F.mul_plain_vector(rot, dk))
+
+    # jitted layer with identical pre-encoded diagonals
+    layer = L.RotateMatmulLayer(params, gk, gk.galois_element, d)
+    diag_dual = jnp.stack([
+        ringops.ensure_dual(ct_ring, F.ckks_encode(ct_ring, v.astype(complex),
+                                                   scale)).dual
+        for v in diags], 0)
+    c1p, c2p = _primal(ct_ring, c)
+    r1, r2 = layer(jnp.asarray(c1p), jnp.asarray(c2p), diag_dual)
+
+    ref1 = np.asarray(ringops.ensure_dual(ct_ring, res.cs[0]).dual)
+    ref2 = np.asarray(ringops.ensure_dual(ct_ring, res.cs[1]).dual)
+    np.testing.assert_array_equal(np.asarray(r1), ref1)
+    np.testing.assert_array_equal(np.asarray(r2), ref2)
+
+    # and it decrypts to the right matmul
+    out = F.CipherText(params, (F.RingElt(dual=r1), F.RingElt(dual=r2)),
+                       ct_ring, enc=F.CKKSTag(scale * scale))
+    got = F.decrypt(kp, out).real
+    expect = np.zeros(ct_ring.n // 2)
+    for k in range(d):
+        expect += diags[k] * np.roll(vals, 4 * k)
+    np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+def test_square_relin_layer_bitexact(setup):
+    params, kp, ek, gk, c, vals, scale = setup
+    ct_ring = params.ring_cipher
+    seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    layer = L.SquareRelinLayer(params, ek)
+    c1p, c2p = _primal(ct_ring, c)
+    o1, o2 = layer(jnp.asarray(c1p), jnp.asarray(c2p))
+    ref1 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[0]).primal)
+    ref2 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[1]).primal)
+    np.testing.assert_array_equal(np.asarray(o1), ref1)
+    np.testing.assert_array_equal(np.asarray(o2), ref2)
+
+
+def test_fast_mnist_pipeline():
+    """Compiled-layer MNIST pipeline end-to-end (small config)."""
+    import jax
+    import numpy as np
+    from toyfhe_tpu.models import mnist as M
+
+    cfg = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
+                        ring_logn=9,
+                        limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
+                        scale_log2=28)
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, acc = M.train(cfg, kt, steps=150)
+    assert acc > 0.9
+    imgs, _ = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
+    imgs = np.asarray(imgs)
+    plain = np.asarray(M.model_forward(cfg, params, imgs))
+    setup = M.fhe_setup(cfg, kf)
+    enc = M.encrypted_inference_fast(setup, params, imgs, ke)
+    assert np.abs(enc.T - plain).max() < 0.5
+    assert np.array_equal(np.argmax(enc.T, -1), np.argmax(plain, -1))

@@ -108,10 +108,20 @@ def ckks_encode(ring: RingContext, slots, scale: ScaleLike) -> RingElt:
     if not np.allclose(nipoints.imag, 0, atol=1e-9):
         raise ValueError("CKKS encode: non-negligible imaginary part")
     q = ring.modulus
-    # Exact quantization: float64 → Fraction → round-to-nearest bigint
-    # (the reference's round(BigInt, big(x)*denom), ckks.jl:43-47).
+    # Exact quantization (the reference's round(BigInt, big(x)*denom),
+    # ckks.jl:43-47). Fast path: when the scale is a power of two and the
+    # scaled magnitudes fit float64's integer range, ldexp+rint is exact.
+    real = nipoints.real
+    if (scale.denominator == 1 and (scale.numerator & (scale.numerator - 1)) == 0
+            and float(np.max(np.abs(real), initial=0.0)) * float(scale) < 2 ** 52):
+        scaled = np.rint(np.ldexp(real, scale.numerator.bit_length() - 1))
+        ints = scaled.astype(np.int64)
+        out = np.zeros((ring.nlimbs, n), dtype=np.uint32)
+        for l, p in enumerate(ring.primes):
+            out[l] = np.mod(ints, p).astype(np.uint32)
+        return RingElt(primal=jnp.asarray(out))
     coeffs = []
-    for x in nipoints.real:
+    for x in real:
         v = Fraction(x) * scale
         m = (2 * v.numerator + v.denominator) // (2 * v.denominator)  # round half up
         coeffs.append(m % q)

@@ -1,0 +1,391 @@
+"""Jitted end-to-end encrypted layers — the serving path.
+
+The eager engine (core/rlwe.py) dispatches op-by-op, which is fine on
+CPU but prohibitive through a remote-TPU tunnel and leaves fusion on the
+table. These builders compile whole encrypted layers into single XLA
+programs:
+
+  * ``RotateMatmulLayer`` — the rotation-based diagonal matmul
+    (infer.jl:141-150): d−1 Galois rotations with ModulusRaised
+    special-prime key switches and diagonal plaintext multiplies, as one
+    ``lax.fori_loop``. The galois permutation is the same every step
+    (static gather); diagonals are a stacked dual-domain tensor indexed
+    dynamically.
+  * ``SquareRelinLayer`` — ct² → special-prime relinearize → rescale
+    (infer.jl:135-137).
+
+Both are bit-exact against the eager engine (tests/test_layers.py) —
+modular arithmetic is exact, so fusing cannot change results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modmath
+from ..core import ring as R
+from ..core.ring import RingContext
+from . import sharding as S
+from .ops import full_table_pytree, _mp_full
+
+
+def _mont_col(vals, ps) -> np.ndarray:
+    return np.array([[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
+                    dtype=np.uint64).astype(np.uint32)
+
+
+@dataclasses.dataclass
+class ModRaiseKeyArrays:
+    """Device-ready key-switch data for a ModulusRaised key."""
+
+    masks: jnp.ndarray        # (Lc, Le, N) duals, downswitched
+    maskeds: jnp.ndarray
+    tabs_ct: dict
+    tabs_exp: dict
+    ps_res: jnp.ndarray       # (Lc, 1)  ps mod q_j
+    inv_ps_mont: jnp.ndarray  # (Lc, 1)  ps^{-1} mod q_j, Montgomery
+    exp_ring: RingContext
+    ct_ring: RingContext
+
+
+def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
+    """Extract stacked arrays from an engine KeySwitchKey under
+    ModulusRaised params (downswitch to [ct limbs..., special]).
+    ``ct_ring`` selects the tower level (defaults to the full ct ring)."""
+    full = params.params.ring_cipher          # parent full ring
+    ct_ring = ct_ring if ct_ring is not None else params.ring_cipher
+    Lc = ct_ring.nlimbs
+    exp_ring = full.select(list(range(Lc)) + [full.nlimbs - 1])
+    which = list(range(Lc)) + [full.nlimbs - 1]
+    masks, maskeds = [], []
+    for comp in ksk.key[:Lc]:
+        _, m = R.limb_select(full, R.ensure_dual(full, comp.mask), which)
+        _, md = R.limb_select(full, R.ensure_dual(full, comp.masked), which)
+        masks.append(m.dual)
+        maskeds.append(md.dual)
+    ps = full.primes[-1]
+    ps_res = np.array([[ps % p] for p in ct_ring.primes],
+                      dtype=np.uint64).astype(np.uint32)
+    inv_ps = _mont_col([pow(ps, -1, p) for p in ct_ring.primes], ct_ring.primes)
+    return ModRaiseKeyArrays(
+        masks=jnp.stack(masks, 0), maskeds=jnp.stack(maskeds, 0),
+        tabs_ct=full_table_pytree(ct_ring.tables),
+        tabs_exp=full_table_pytree(exp_ring.tables),
+        ps_res=jnp.asarray(ps_res), inv_ps_mont=jnp.asarray(inv_ps),
+        exp_ring=exp_ring, ct_ring=ct_ring)
+
+
+def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
+    """Special-prime keyswitch of a 2-component primal ciphertext whose
+    second component is being switched (rlwe keyswitch semantics with
+    ModulusRaised expand/contract). Returns primal (Lc, N) components."""
+    mp_ct = _mp_full(ka.tabs_ct)
+    mp_exp = _mp_full(ka.tabs_exp)
+    Lc, n = c1p.shape[-2], c1p.shape[-1]
+    # digits: centered lifts of each ct limb embedded across the exp tower
+    lifts = modmath.centered(c2p, mp_ct)                       # (Lc, N) int32
+    digs = modmath.from_signed(
+        jnp.broadcast_to(lifts[..., :, None, :],
+                         lifts.shape[:-2] + (Lc, Lc + 1, n)), mp_exp)
+    ddual = S.ntt_p(digs, ka.tabs_exp)                         # (Lc, Le, N)
+    acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp), mp_exp, -3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
+    # expand c1 by ps and adjoin the zero special limb (in the dual domain
+    # — scalar multiply and zero-limb are domain-independent)
+    c1d = S.ntt_p(modmath.mul_mod(c1p, ka.ps_res, mp_ct), ka.tabs_ct)
+    zero = jnp.zeros(c1d.shape[:-2] + (1, n), dtype=jnp.uint32)
+    c1e = jnp.concatenate([c1d, zero], axis=-2)
+    r1 = modmath.add_mod(c1e, acc1, mp_exp)
+    r2 = acc2
+    # contract: rescale by the special prime (needs primal)
+    r1p = S.intt_p(r1, ka.tabs_exp)
+    r2p = S.intt_p(r2, ka.tabs_exp)
+
+    def rescale(x):
+        last = x[..., -1:, :]
+        last_mod = modmath.umod(last, mp_ct.p)
+        diff = modmath.sub_mod(x[..., :-1, :], last_mod, mp_ct)
+        return modmath.mont_mul(diff, ka.inv_ps_mont, mp_ct)
+
+    return rescale(r1p), rescale(r2p)
+
+
+class RotateMatmulLayer:
+    """One-jit rotation-based diagonal matmul (infer.jl:141-150).
+
+    ``diag_dual``: uint32[d, Lc, N] — each diagonal pre-encoded at the
+    input scale and NTT'd. Output ciphertext is dual-domain at scale².
+    """
+
+    def __init__(self, params, gk, galois_element: int, d: int, ct_ring=None):
+        self.ka = build_modraise_key_arrays(params, gk.key, ct_ring)
+        self.src, self.neg = self.ka.ct_ring.galois_tables(galois_element)
+        self.d = d
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        ka = self.ka
+        src = jnp.asarray(self.src)
+        neg = jnp.asarray(self.neg)
+        d = self.d
+
+        def galois(x, mp):
+            y = jnp.take(x, src, axis=-1)
+            return jnp.where(neg, modmath.neg_mod(y, mp), y)
+
+        def fn(c1p, c2p, diag_dual):
+            mp = _mp_full(ka.tabs_ct)
+            c1d = S.ntt_p(c1p, ka.tabs_ct)
+            c2d = S.ntt_p(c2p, ka.tabs_ct)
+            res1 = modmath.mul_mod(c1d, diag_dual[0], mp)
+            res2 = modmath.mul_mod(c2d, diag_dual[0], mp)
+
+            def body(k, carry):
+                r1p, r2p, res1, res2 = carry
+                g1 = galois(r1p, mp)
+                g2 = galois(r2p, mp)
+                o1, o2 = _modraise_keyswitch(ka, g1, g2)
+                od1 = S.ntt_p(o1, ka.tabs_ct)
+                od2 = S.ntt_p(o2, ka.tabs_ct)
+                dk = jax.lax.dynamic_index_in_dim(diag_dual, k, 0,
+                                                  keepdims=False)
+                res1 = modmath.add_mod(res1, modmath.mul_mod(od1, dk, mp), mp)
+                res2 = modmath.add_mod(res2, modmath.mul_mod(od2, dk, mp), mp)
+                return (o1, o2, res1, res2)
+
+            _, _, res1, res2 = jax.lax.fori_loop(
+                1, d, body, (c1p, c2p, res1, res2))
+            return res1, res2
+
+        return fn
+
+    def __call__(self, c1p, c2p, diag_dual):
+        return self._fn(c1p, c2p, diag_dual)
+
+
+class SquareRelinLayer:
+    """One-jit ct² → special-prime relinearize → rescale-by-data-prime
+    (infer.jl:135-137). Input primal (Lc, N) comps; output primal at the
+    dropped tower (Lc−1, N) with scale²/q_last."""
+
+    def __init__(self, params, ek, ct_ring=None):
+        self.ka = build_modraise_key_arrays(params, ek.key, ct_ring)
+        ct = self.ka.ct_ring
+        qk = ct.primes[-1]
+        sub = ct.drop_last()
+        self.inv_q_mont = jnp.asarray(
+            _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+        self.sub_ring = sub
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        ka = self.ka
+        inv_q = self.inv_q_mont
+
+        def fn(c1p, c2p):
+            mp = _mp_full(ka.tabs_ct)
+            c1d = S.ntt_p(c1p, ka.tabs_ct)
+            c2d = S.ntt_p(c2p, ka.tabs_ct)
+            d1 = modmath.mul_mod(c1d, c1d, mp)
+            mid = modmath.mul_mod(c1d, c2d, mp)
+            d2 = modmath.add_mod(mid, mid, mp)
+            d3 = modmath.mul_mod(c2d, c2d, mp)
+            d3p = S.intt_p(d3, ka.tabs_ct)
+            # relinearize (d1, d2) += keyswitch(d3); d1/d2 play the c1/c2
+            # roles but both carry data — fold d2 through the mask channel
+            o1, o2 = _modraise_keyswitch_pair(ka, d1, d2, d3p)
+            # final data-prime rescale
+            mp_sub = _sub_mp(mp)
+
+            def rescale(x):
+                last = x[..., -1:, :]
+                last_mod = modmath.umod(last, mp_sub.p)
+                diff = modmath.sub_mod(x[..., :-1, :], last_mod, mp_sub)
+                return modmath.mont_mul(diff, inv_q, mp_sub)
+
+            return rescale(o1), rescale(o2)
+
+        return fn
+
+    def __call__(self, c1p, c2p):
+        return self._fn(c1p, c2p)
+
+
+def _sub_mp(mp):
+    from ..ops.modmath import MontParams
+    sl = lambda a: a[..., :-1, :] if a.ndim > 2 else a[:-1]
+    return MontParams(p=mp.p[:-1], ninv=mp.ninv[:-1], r2=mp.r2[:-1],
+                     r1=mp.r1[:-1], half=mp.half[:-1])
+
+
+def _modraise_keyswitch_pair(ka: ModRaiseKeyArrays, d1_dual, d2_dual, d3p):
+    """Keyswitch for a 3-component ct (d1, d2, d3): digits from d3,
+    d1/d2 already dual in the ct ring. Returns primal ct-ring comps."""
+    mp_ct = _mp_full(ka.tabs_ct)
+    mp_exp = _mp_full(ka.tabs_exp)
+    Lc, n = d3p.shape[-2], d3p.shape[-1]
+    lifts = modmath.centered(d3p, mp_ct)
+    digs = modmath.from_signed(
+        jnp.broadcast_to(lifts[..., :, None, :],
+                         lifts.shape[:-2] + (Lc, Lc + 1, n)), mp_exp)
+    ddual = S.ntt_p(digs, ka.tabs_exp)
+    acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp), mp_exp, -3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
+    zero = jnp.zeros(d1_dual.shape[:-2] + (1, n), dtype=jnp.uint32)
+    e1 = jnp.concatenate([modmath.mul_mod(d1_dual, ka.ps_res, mp_ct), zero], -2)
+    e2 = jnp.concatenate([modmath.mul_mod(d2_dual, ka.ps_res, mp_ct), zero], -2)
+    r1 = modmath.add_mod(e1, acc1, mp_exp)
+    r2 = modmath.add_mod(e2, acc2, mp_exp)
+    r1p = S.intt_p(r1, ka.tabs_exp)
+    r2p = S.intt_p(r2, ka.tabs_exp)
+
+    def rescale(x):
+        last = x[..., -1:, :]
+        last_mod = modmath.umod(last, mp_ct.p)
+        diff = modmath.sub_mod(x[..., :-1, :], last_mod, mp_ct)
+        return modmath.mont_mul(diff, ka.inv_ps_mont, mp_ct)
+
+    return rescale(r1p), rescale(r2p)
+
+
+class ConvLayer:
+    """One-jit encrypted convolution (infer.jl:126-130): per output
+    channel, Σ over the k×k ciphertext grid of plain-scalar multiplies,
+    plus bias, plus the rescale. Inputs dual cts (G, 2, Lc, N); outputs
+    primal (C, 2, Lc−1, N) at scale²/q_last."""
+
+    def __init__(self, params, ct_ring=None, channels: int = 4):
+        ct = ct_ring if ct_ring is not None else params.ring_cipher
+        self.ct_ring = ct
+        qk = ct.primes[-1]
+        sub = ct.drop_last()
+        self.sub_ring = sub
+        self.tabs = full_table_pytree(ct.tables)
+        self.inv_q_mont = jnp.asarray(
+            _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        tabs = self.tabs
+        inv_q = self.inv_q_mont
+
+        def fn(cts_dual, w_res, bias_dual):
+            # cts_dual: (G, 2, L, N); w_res: (C, G, L, 1); bias: (C, L, N)
+            mp = _mp_full(tabs)
+            G = cts_dual.shape[0]
+            C = w_res.shape[0]
+            acc0 = jnp.zeros((C,) + cts_dual.shape[1:], dtype=jnp.uint32)
+
+            def body(g, acc):
+                term = modmath.mul_mod(cts_dual[g][None], w_res[:, g][:, None],
+                                       mp)
+                return modmath.add_mod(acc, term, mp)
+
+            acc = jax.lax.fori_loop(0, G, body, acc0)
+            acc = acc.at[:, 0].set(modmath.add_mod(acc[:, 0], bias_dual, mp))
+            accp = S.intt_p(acc, tabs)
+            mp_sub = _sub_mp(mp)
+            last = accp[..., -1:, :]
+            last_mod = modmath.umod(last, mp_sub.p)
+            diff = modmath.sub_mod(accp[..., :-1, :], last_mod, mp_sub)
+            return modmath.mont_mul(diff, inv_q, mp_sub)
+
+        return fn
+
+    def __call__(self, cts_dual, w_res, bias_dual):
+        return self._fn(cts_dual, w_res, bias_dual)
+
+
+class BiasRescaleLayer:
+    """One-jit bias-add (dual) + rescale, for after a matmul layer."""
+
+    def __init__(self, ct_ring):
+        self.ct_ring = ct_ring
+        qk = ct_ring.primes[-1]
+        sub = ct_ring.drop_last()
+        self.sub_ring = sub
+        self.tabs = full_table_pytree(ct_ring.tables)
+        self.inv_q_mont = jnp.asarray(
+            _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        tabs = self.tabs
+        inv_q = self.inv_q_mont
+
+        def fn(c1d, c2d, bias_dual):
+            mp = _mp_full(tabs)
+            c1d = modmath.add_mod(c1d, bias_dual, mp)
+            stack = jnp.stack([c1d, c2d], 0)
+            p = S.intt_p(stack, tabs)
+            mp_sub = _sub_mp(mp)
+            last = p[..., -1:, :]
+            last_mod = modmath.umod(last, mp_sub.p)
+            diff = modmath.sub_mod(p[..., :-1, :], last_mod, mp_sub)
+            out = modmath.mont_mul(diff, inv_q, mp_sub)
+            return out[0], out[1]
+
+        return fn
+
+    def __call__(self, c1d, c2d, bias_dual):
+        return self._fn(c1d, c2d, bias_dual)
+
+
+class BatchEncryptor:
+    """One-jit batched CKKS encryption under ModulusRaised params:
+    sample at the full tower, drop the special limb, add the plaintexts.
+    fn(pts_primal (B, Lc, N), prng_key) -> ct duals (B, 2, Lc, N)."""
+
+    def __init__(self, params, pub, sigma: float = 3.2):
+        full = params.params.ring_cipher
+        ct = params.ring_cipher
+        self.full, self.ct_ring = full, ct
+        self.sigma = sigma
+        self.tabs_full = full_table_pytree(full.tables)
+        self.tabs_ct = full_table_pytree(ct.tables)
+        self.mask_d = R.ensure_dual(full, pub.key.mask).dual
+        self.masked_d = R.ensure_dual(full, pub.key.masked).dual
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        tabs_full, tabs_ct = self.tabs_full, self.tabs_ct
+        mask_d, masked_d = self.mask_d, self.masked_d
+        sigma = self.sigma
+        Lf = mask_d.shape[0]
+
+        def enc_one(key, ptp):
+            mpf = _mp_full(tabs_full)
+            mp = _mp_full(tabs_ct)
+            n = ptp.shape[-1]
+            k1, k2, k3 = jax.random.split(key, 3)
+
+            def gauss(k):
+                g = jax.random.normal(k, (1, n), dtype=jnp.float32) * sigma
+                ints = jnp.round(g).astype(jnp.int32)
+                return modmath.from_signed(
+                    jnp.broadcast_to(ints, (Lf, n)), mpf)
+
+            ud = S.ntt_p(gauss(k1), tabs_full)
+            e1d = S.ntt_p(gauss(k2), tabs_full)
+            e2d = S.ntt_p(gauss(k3), tabs_full)
+            c1 = modmath.add_mod(modmath.mul_mod(masked_d, ud, mpf), e1d, mpf)
+            c2 = modmath.add_mod(modmath.mul_mod(mask_d, ud, mpf), e2d, mpf)
+            Lc = ptp.shape[-2]
+            c1 = c1[:Lc]
+            c2 = c2[:Lc]
+            c1 = modmath.add_mod(c1, S.ntt_p(ptp, tabs_ct), mp)
+            return jnp.stack([c1, c2], 0)
+
+        def fn(pts, key):
+            keys = jax.random.split(key, pts.shape[0])
+            return jax.vmap(enc_one)(keys, pts)
+
+        return fn
+
+    def __call__(self, pts_primal, key):
+        return self._fn(pts_primal, key)
