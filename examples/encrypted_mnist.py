@@ -23,6 +23,8 @@ from toyfhe_tpu.models import mnist as M
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--eager", action="store_true",
+                    help="use the eager engine instead of compiled layers")
     ap.add_argument("--steps", type=int, default=300)
     args = ap.parse_args()
 
@@ -54,7 +56,8 @@ def main():
           flush=True)
 
     t0 = time.time()
-    enc_logits = M.encrypted_inference(setup, params, imgs, ke)
+    run = M.encrypted_inference if args.eager else M.encrypted_inference_fast
+    enc_logits = run(setup, params, imgs, ke)
     dt = time.time() - t0
     print(f"encrypted inference: {dt:.1f}s for {cfg.batch} images "
           f"({dt/cfg.batch*1e3:.0f} ms/image amortized)", flush=True)

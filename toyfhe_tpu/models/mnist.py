@@ -50,12 +50,12 @@ class MNISTConfig:
     classes: int = 10
     ring_logn: int = 13      # CKKS ring: N = 2^logn, slots = N/2
     # Tower shape mirrors infer.jl:97-110's (60, 40×5, special) re-planned
-    # to <2^31 limbs: two 30-bit bottom limbs play the big-q₀ role (the
-    # final ciphertext lives at scale² ≈ 2^56, so the surviving bottom
-    # tower must exceed it), 28-bit limbs are consumed by rescales, the
-    # last 30-bit limb is the special prime.
-    limb_bits: Tuple[int, ...] = (30, 30, 28, 28, 28, 28, 28, 30)
-    scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
+    # to <2^31 limbs: all-30-bit limbs with scale 2^30 — the scale matches
+    # the rescale primes (keeps scales stable across levels), the two
+    # surviving bottom limbs (2^60) exceed the final scale² · value range,
+    # and the last limb is the special prime.
+    limb_bits: Tuple[int, ...] = (30,) * 8
+    scale_log2: int = 30   # scale ≈ rescale-limb size keeps scales stable
 
     @property
     def positions(self) -> int:            # conv output positions per image
