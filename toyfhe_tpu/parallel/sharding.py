@@ -140,3 +140,101 @@ def _mk_mp(tabs):
     z = jnp.zeros_like(tabs["p"])
     return MontParams(p=tabs["p"], ninv=tabs["ninv"], r2=z, r1=z,
                       half=(tabs["p"] - 1) // 2)
+
+
+# ---------------------------------------------------------------------------
+# coefficient-axis (sequence-parallel) sharded NTT
+# ---------------------------------------------------------------------------
+#
+# The ring-dimension axis N is the FHE analogue of sequence parallelism
+# (SURVEY §5): for N too large for one chip, shard the coefficient axis
+# over a 'cp' mesh axis. The transpose-based four-step factorization
+# N = N1·N2 localizes both DFT stages around ONE all_to_all:
+#
+#   Xmat[j1, j2] = x[j1·N2 + j2]      sharded along j2
+#   A = W_{N1} · Xmat                  (contraction over j1 — local)
+#   B = A ⊙ ω^{k1·j2}                  (local)
+#   all_to_all: reshard from j2-sharded to k1-sharded
+#   C = B · W_{N2}                     (contraction over j2 — local)
+#   X[k1 + N1·k2] = C[k1, k2]          sharded along k1
+#
+# The modular matmuls reuse the MXU digit-dot machinery (ops/ntt_mxu.py),
+# so on TPU the sharded transform also rides the systolic array.
+
+def coeff_shard_layout(n: int, n2: int, nshards: int):
+    """Host-side index maps for the sharded four-step layout.
+
+    Input layout: shard s owns columns j2 ∈ [s·n2/C, (s+1)·n2/C) of
+    Xmat[j1, j2] (j = j1·n2 + j2); locally (j1-major, j2loc-minor).
+    ``in_src[pos]`` gives the natural coefficient index stored at global
+    position pos of the concatenated shard layout (a gather map).
+
+    Output layout: shard s owns k1 ∈ [s·N1/C, ...), locally (k2-major,
+    k1loc-minor). ``out_nat[pos]`` gives the natural dual index stored at
+    global position pos.
+    """
+    N1 = n // n2
+    npb = n2 // nshards
+    k1pb = N1 // nshards
+    pos = np.arange(n)
+    # input gather map
+    shard = pos // (n // nshards)
+    within = pos % (n // nshards)
+    j1 = within // npb
+    j2 = shard * npb + within % npb
+    in_src = j1 * n2 + j2
+    # output natural-index map
+    shard_o = pos // (n // nshards)
+    within_o = pos % (n // nshards)
+    k2 = within_o // k1pb
+    k1 = shard_o * k1pb + within_o % k1pb
+    out_nat = k1 + N1 * k2
+    return in_src, out_nat
+
+
+def coeff_sharded_ntt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
+    """shard_map body for the forward negacyclic NTT with the coefficient
+    axis sharded over ``axis_name`` (transpose-based four-step: both DFT
+    stages local, ONE all_to_all between them).
+
+    The body takes ``x_local: uint32[L, N/C]`` in the layout described by
+    :func:`coeff_shard_layout` and returns the dual in the output layout.
+    The ψ-twist table is pre-permuted to the input layout so each shard
+    slices its contiguous block. (Inverse transform mirrors this with the
+    inverse tables and the layouts swapped — planned follow-up.)
+    """
+    from ..ops import modmath as MM
+    from ..ops import ntt_mxu as MX
+
+    mt = mxu_tables
+    n, n2, N1 = mt.n, mt.n2, MX.N1
+    npb = n2 // nshards
+    mp = mt.mp
+    mp3 = MX._mp3(mp)
+    w1 = jnp.asarray(mt.w1)
+    w2 = jnp.asarray(mt.w2)
+    tw = jnp.asarray(mt.tw)
+    in_src, _ = coeff_shard_layout(n, n2, nshards)
+    psi_layout = jnp.asarray(np.asarray(mt.psi_pow)[:, in_src])  # (L, N) permuted
+
+    def body(x_local):
+        idx = jax.lax.axis_index(axis_name)
+        nloc = x_local.shape[-1]
+        psi_loc = jax.lax.dynamic_slice_in_dim(psi_layout, idx * nloc, nloc, 1)
+        x_local = MM.mont_mul(x_local, psi_loc, mp)
+        xm = x_local.reshape(x_local.shape[:-1] + (N1, npb))
+        # stage 1 (local): A[k1, j2loc] = Σ_j1 W1[j1, k1]·X[j1, j2loc]
+        a = MX._mod_matmul(mt, MX._balanced_digits_device(xm), w1, mp3)
+        # twiddle ω^{k1·j2} for my j2 block
+        twl = jax.lax.dynamic_slice_in_dim(tw, idx * npb, npb, 2)
+        b = MM.mont_mul(a, twl, mp3)
+        # ONE all_to_all: j2-sharded -> k1-sharded (split N1, concat j2)
+        bt = jax.lax.all_to_all(b, axis_name, split_axis=b.ndim - 2,
+                                concat_axis=b.ndim - 1, tiled=True)
+        # bt: (L, N1/C, n2) with full j2
+        btt = jnp.swapaxes(bt, -1, -2)                 # (L, j2, k1loc)
+        c = MX._mod_matmul(mt, MX._balanced_digits_device(btt), w2, mp3)
+        # c: (L, k2, k1loc) -> flatten to the output layout
+        return c.reshape(c.shape[:-2] + (n2 * (N1 // nshards),))
+
+    return body

@@ -135,3 +135,39 @@ def _resolve_ring(params, meta: dict) -> RingContext:
     if ring.primes == primes and ring.n == meta["n"]:
         return ring
     return ring_from_meta(meta)
+
+
+def save_eval_mult_key(path: str, ek) -> None:
+    save_keyswitch_key(path, ek.key)
+
+
+def load_eval_mult_key(path: str, params):
+    from ..core.rlwe import EvalMultKey
+    return EvalMultKey(load_keyswitch_key(path, params))
+
+
+def save_galois_key(path: str, gk) -> None:
+    import json as _json
+    arrays: Dict[str, np.ndarray] = {}
+    comps = []
+    for i, kc in enumerate(gk.key.key):
+        comps.append({"mask": _put_elt(arrays, f"k{i}.mask", kc.mask),
+                      "masked": _put_elt(arrays, f"k{i}.masked", kc.masked)})
+    header = {"kind": "galois_key", "galois_element": gk.galois_element,
+              "ring": _ring_meta(gk.key.ring), "comps": comps}
+    arrays["header"] = np.frombuffer(_json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_galois_key(path: str, params):
+    import json as _json
+
+    from ..core.rlwe import GaloisKey, KeyComponent, KeySwitchKey
+    z = np.load(path)
+    header = _json.loads(bytes(z["header"]).decode())
+    assert header["kind"] == "galois_key"
+    ring = _resolve_ring(params, header["ring"])
+    comps = [KeyComponent(mask=_get_elt(z, f"k{i}.mask", info["mask"]),
+                          masked=_get_elt(z, f"k{i}.masked", info["masked"]))
+             for i, info in enumerate(header["comps"])]
+    return GaloisKey(header["galois_element"], KeySwitchKey(params, comps, ring))
