@@ -1,0 +1,78 @@
+"""Scheme modifiers and auxiliary features: InsecureDebug, tower drops,
+GaloisKeys sets, metrics counters, BGV noise meter."""
+
+from fractions import Fraction
+
+import jax
+import numpy as np
+
+import toyfhe_tpu as F
+from toyfhe_tpu.utils import metrics
+
+
+def test_insecure_debug_zero_noise():
+    """InsecureDebug removes noise: CKKS decrypt error is encoder-only
+    (insecuredebug.jl:3-15 role)."""
+    ring = F.make_rns_ring(32, (30, 29))
+    params = F.InsecureDebug(F.CKKSParams(ring, 4, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    kp = F.keygen(params, ks[0])
+    vals = np.linspace(1, 2, 16)
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 40), ks[1])
+    err = np.abs(F.decrypt(kp, c).real - vals).max()
+    assert err < 1e-10, err        # noise-free: only encode rounding
+
+
+def test_modswitch_drop_decrypt():
+    """Dropping a limb without rescale still decrypts (BGV-style value
+    semantics are preserved mod the smaller tower)."""
+    params = F.BGVParams(F.cryptparams.palisade_ring(4096), 256, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    kp = F.keygen(params, ks[0])
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 7), ks[1])
+    # full-tower decrypt
+    assert F.decrypt(kp, c)[0] == 7
+
+
+def test_galois_keys_set():
+    ring = F.make_rns_ring(32, (30, 29))
+    params = F.CKKSParams(ring, 4, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    kp = F.keygen(params, ks[0])
+    gks = F.keygen_galois_set(ks[1], kp.priv, [1, 2, 4])
+    vals = np.arange(1, 17, dtype=np.float64)
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 40), ks[0])
+    for s in (1, 2, 4):
+        got = F.decrypt(kp, F.rotate(gks, c, steps=s))
+        np.testing.assert_allclose(got, np.roll(vals.astype(complex), s),
+                                   atol=1e-4)
+
+
+def test_metrics_counters():
+    metrics.reset()
+    ring = F.make_rns_ring(32, (30, 29))
+    params = F.CKKSParams(ring, 4, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    vals = np.ones(16)
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 30), ks[2])
+    metrics.reset()
+    y = F.keyswitch(ek, F.ct_mul(c, c))
+    snap = metrics.snapshot()
+    assert snap.get("enc_mul") == 1
+    assert snap.get("keyswitch") == 1
+    assert snap.get("ntt_limb_transform", 0) > 0
+
+
+def test_bgv_noise_budget_positive():
+    params = F.BGVParams(F.cryptparams.palisade_ring(4096), 256, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    kp = F.keygen(params, ks[0])
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 3), ks[1])
+    b1 = F.bgv_noise_budget(kp, c)
+    assert b1 > 0
+    y = F.ct_mul(c, c)
+    b2 = F.bgv_noise_budget(kp, y)
+    assert b2 < b1
+    assert F.decrypt(kp, y)[0] == 9

@@ -29,7 +29,6 @@ kernel is the "centerpiece native kernel" of SURVEY §2.8.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

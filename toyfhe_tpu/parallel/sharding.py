@@ -119,22 +119,7 @@ def shard_ring_tensor(mesh: Mesh, x, batch: bool = False):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def keyswitch_digits_local(c_end, gather, tabs, window: int):
-    """Inside-shard_map body for gadget decomposition: each shard owns
-    L_loc limbs of c_end; ``gather`` must have already all-gathered the
-    full-L centered lifts. Returns digit duals for the local limbs:
-    uint32[ndig, L_loc, N]."""
-    # gather: int32[L_full, N] centered lifts (replicated after all_gather)
-    p = tabs["p"]                  # (L_loc, 1)
-    local = modmath.from_signed(
-        jnp.broadcast_to(gather[:, None, :], gather.shape[:1] + (p.shape[0], gather.shape[1])),
-        _mk_mp(tabs))
-    return ntt_p(local, tabs)
-
-
 def _mk_mp(tabs):
-    import dataclasses
-
     from ..ops.modmath import MontParams
     L = tabs["p"].shape[0]
     z = jnp.zeros_like(tabs["p"])
