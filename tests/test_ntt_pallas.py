@@ -55,3 +55,15 @@ def test_mxu_four_step(rings):
         np.asarray(mxu.ntt_mxu(mt, at)), np.asarray(nttmod.ntt(t, at)))
     np.testing.assert_array_equal(
         np.asarray(mxu.intt_mxu(mt, at)), np.asarray(nttmod.intt(t, at)))
+
+
+def test_mxu_pallas_kernel(rings):
+    """Pallas four-step MXU kernel bit-exact vs radix-2 (interpret mode)."""
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    from toyfhe_tpu.ops import ntt_mxu_pallas as mxp
+    t, pt, a, _ = rings
+    mt = mxu.MxuNttTables(t)
+    got = np.asarray(mxp.ntt_mxu_pallas_natural(mt, jnp.asarray(a), True))
+    ref = np.asarray(nttmod.ntt(t, jnp.asarray(a.transpose(1, 0, 2)))
+                     ).transpose(1, 0, 2)
+    np.testing.assert_array_equal(got, ref)

@@ -110,6 +110,8 @@ class NttTables:
         # Broadcast-ready modulus constants for stage tensors (L,1,1).
         self._p3 = self.mp.p.reshape(L, 1, 1)
         self._ninv3 = self.mp.ninv.reshape(L, 1, 1)
+        # Harvey lazy butterflies need 4p < 2^32
+        self.lazy_ok = max(self.primes) < (1 << 30)
 
     # identity hash/eq → safe as a jit static argument
     def __hash__(self):
@@ -127,6 +129,15 @@ def _mont_mul_raw(a, b, p, ninv):
     return jnp.where(t >= p, t - p, t)
 
 
+def _mont_mul_lazy(a, b, p, ninv):
+    """REDC without the final conditional subtract: input a < 2^32, b < p;
+    output in [0, 2p)."""
+    hi, lo = mul32(a, b)
+    m = lo * ninv
+    mp_hi, _ = mul32(m, p)
+    return hi + mp_hi + (lo != 0).astype(U32)
+
+
 def _add_raw(a, b, p):
     t = a + b
     return jnp.where(t >= p, t - p, t)
@@ -138,20 +149,41 @@ def _sub_raw(a, b, p):
 
 
 def _dft_stages(tables: NttTables, x, tw_list):
-    """Radix-2 DIT stages: bit-reversed input → natural-order DFT output."""
+    """Radix-2 DIT stages: bit-reversed input → natural-order DFT output.
+
+    Harvey-style lazy reduction when all primes < 2^30: butterflies keep
+    values in [0, 4p) with a single conditional per butterfly (reduce u
+    into [0, 2p), multiply v lazily into [0, 2p), outputs u±t stay
+    < 4p < 2^32); a final two-step correction restores canonical [0, p).
+    Falls back to the fully-reduced butterfly for larger primes.
+    """
     n = tables.n
     lead = x.shape[:-1]           # (..., L)
     p3, ninv3 = tables._p3, tables._ninv3
     x = jnp.take(x, jnp.asarray(tables.bitrev), axis=-1)
+    lazy = tables.lazy_ok
+    two_p = p3 + p3
     ln = 2
     for s in range(n.bit_length() - 1):
         half = ln // 2
         xs = x.reshape(lead + (n // ln, ln))
         u = xs[..., :half]
-        v = _mont_mul_raw(xs[..., half:], jnp.asarray(tw_list[s]), p3, ninv3)
-        x = jnp.concatenate([_add_raw(u, v, p3), _sub_raw(u, v, p3)], axis=-1)
+        v = xs[..., half:]
+        if lazy:
+            u = jnp.where(u >= two_p, u - two_p, u)           # [0, 2p)
+            t = _mont_mul_lazy(v, jnp.asarray(tw_list[s]), p3, ninv3)
+            x = jnp.concatenate([u + t, u + two_p - t], axis=-1)
+        else:
+            t = _mont_mul_raw(v, jnp.asarray(tw_list[s]), p3, ninv3)
+            x = jnp.concatenate([_add_raw(u, t, p3), _sub_raw(u, t, p3)],
+                                axis=-1)
         x = x.reshape(lead + (n,))
         ln *= 2
+    if lazy:
+        p2 = jnp.asarray(tables.mp.p)         # (L, 1) for the flat layout
+        tp2 = p2 + p2
+        x = jnp.where(x >= tp2, x - tp2, x)
+        x = jnp.where(x >= p2, x - p2, x)
     return x
 
 
