@@ -29,7 +29,7 @@ def test_geometry():
 
 
 def test_plain_model_trains():
-    params, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=200)
+    params, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=80)
     assert acc > 0.9, acc
 
 
@@ -49,7 +49,7 @@ def test_preprocess_matches_patches():
 def test_encrypted_inference_label_agreement():
     cfg = SMALL
     kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
-    params, acc = M.train(cfg, kt, steps=200)
+    params, acc = M.train(cfg, kt, steps=80)
     imgs, labels = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
     imgs = np.asarray(imgs)
 

@@ -21,7 +21,6 @@ modular arithmetic is exact, so fusing cannot change results.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ metadata; SURVEY §7 hard part 4).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +34,8 @@ from ..ops import modmath
 from . import sharding as S
 
 
-def _mp(tabs):
-    return S._mk_mp(tabs)
-
-
 def _mulmod_t(a, b, tabs):
-    """Ordinary-form modular product with tables (2 REDC passes).
-    Needs r2; recompute from p via hosting? r2 must ride in tabs."""
+    """Ordinary-form modular product with table constants (2 REDC passes)."""
     return modmath.mul_mod(a, b, _mp_full(tabs))
 
 

@@ -20,8 +20,8 @@ both data and tables together.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import modmath
-from ..ops.modmath import U32
+
 from ..ops.ntt import NttTables, _mont_mul_raw, _add_raw, _sub_raw
 
 
@@ -117,14 +117,6 @@ def shard_ring_tensor(mesh: Mesh, x, batch: bool = False):
     batch)."""
     spec = (P("dp", None, "rp", None) if batch else P("rp", None))
     return jax.device_put(x, NamedSharding(mesh, spec))
-
-
-def _mk_mp(tabs):
-    from ..ops.modmath import MontParams
-    L = tabs["p"].shape[0]
-    z = jnp.zeros_like(tabs["p"])
-    return MontParams(p=tabs["p"], ninv=tabs["ninv"], r2=z, r1=z,
-                      half=(tabs["p"] - 1) // 2)
 
 
 # ---------------------------------------------------------------------------
