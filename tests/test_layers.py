@@ -106,3 +106,37 @@ def test_fast_mnist_pipeline():
     enc = M.encrypted_inference_fast(setup, params, imgs, ke)
     assert np.abs(enc.T - plain).max() < 0.5
     assert np.array_equal(np.argmax(enc.T, -1), np.argmax(plain, -1))
+
+
+def test_hybrid_window_layer_bitexact():
+    """Windowed (hybrid) gadget in the compiled layers matches the eager
+    engine bit-exactly, including after a modswitch drop (digit count
+    pinned to the key's decomposition ring)."""
+    N = 32
+    ring = F.make_rns_ring(N, (30, 29, 28, 29))
+    params = F.ModulusRaised(F.CKKSParams(ring, 8, 3.2))   # window = 8
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    kp = F.keygen(params, ks[0])
+    gk = F.keygen_galois(ks[1], kp.priv, steps=2)
+    scale = Fraction(2) ** 28
+    vals = np.linspace(0.5, 4.0, N // 2)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, scale), ks[2])
+
+    for lvl_c in (c, F.ct_rescale(c)):      # full level and one drop
+        ct_ring = lvl_c.ring
+        seq = F.rotate(gk, lvl_c)
+        layer = L.RotateMatmulLayer(params, gk, gk.galois_element, 1, ct_ring)
+        ones = np.ones(ct_ring.n // 2)
+        sc = lvl_c.enc.scale
+        diag = jnp.stack([ringops.ensure_dual(
+            ct_ring, F.ckks_encode(ct_ring, ones.astype(complex), sc)).dual], 0)
+        # d=1 layer = identity diag-mul only; compare the keyswitch core
+        o1, o2 = L._modraise_keyswitch(
+            layer.ka,
+            *[np.asarray(ringops.ensure_primal(ct_ring,
+                F.apply_galois_ct(lvl_c, gk.galois_element).cs[i]).primal)
+              for i in range(2)])
+        ref1 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[0]).primal)
+        ref2 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[1]).primal)
+        np.testing.assert_array_equal(np.asarray(o1), ref1)
+        np.testing.assert_array_equal(np.asarray(o2), ref2)

@@ -421,13 +421,16 @@ def gadget_factors(ring: RingContext, window: int) -> List[int]:
 
 
 def gadget_decompose(ring: RingContext, target: RingContext, x: RingElt,
-                     window: int) -> jnp.ndarray:
+                     window: int, k_per_limb: Optional[int] = None) -> jnp.ndarray:
     """Decompose x (primal, in ``ring``) into digit ring elements embedded
     in ``target``'s tower. Returns primal tensor uint32[ndig, Lt, N].
 
     window == 0: centered RNS digits (rlwe_she.jl:327-330);
     window  > 0: raw base-2^w digits of each residue (rlwe_she.jl:331-338
-    generalized per-limb)."""
+    generalized per-limb). ``k_per_limb`` must match the digit count the
+    key was generated with (from the key's decomposition ring — after
+    modswitch drops the current tower's max prime may be smaller, and the
+    digit/key pairing must stay aligned)."""
     x = R.ensure_primal(ring, x)
     p = x.primal                      # [L, N]
     mp_t = target.mp
@@ -438,7 +441,7 @@ def gadget_decompose(ring: RingContext, target: RingContext, x: RingElt,
             digs.append(modmath.from_signed(
                 jnp.broadcast_to(lift, p.shape[:-2] + (target.nlimbs, ring.n)), mp_t))
     else:
-        k, _ = _gadget_shape(ring, window)
+        k = k_per_limb if k_per_limb is not None else _gadget_shape(ring, window)[0]
         mask = np.uint32((1 << window) - 1)
         for i in range(ring.nlimbs):
             xi = p[..., i:i + 1, :]
@@ -557,7 +560,10 @@ def keyswitch(ek, c: CipherText) -> CipherText:
         c2 = c.cs[1] if len(c.cs) == 3 else None
 
     window = params.relin_window
-    digits = gadget_decompose(ring, exp_ring, c.cs[-1], window)   # [ndig, Lt, N]
+    key_dec_ring = params.ring_cipher if _is_modraised(params) else ek.ring
+    kpl = _gadget_shape(key_dec_ring, window)[0] if window else None
+    digits = gadget_decompose(ring, exp_ring, c.cs[-1], window,
+                              k_per_limb=kpl)                    # [ndig, Lt, N]
     from ..ops import ntt as nttmod
     from ..utils import metrics
     metrics.count("keyswitch")

@@ -42,7 +42,7 @@ def _mont_col(vals, ps) -> np.ndarray:
 class ModRaiseKeyArrays:
     """Device-ready key-switch data for a ModulusRaised key."""
 
-    masks: jnp.ndarray        # (Lc, Le, N) duals, downswitched
+    masks: jnp.ndarray        # (ndig, Le, N) duals, downswitched
     maskeds: jnp.ndarray
     tabs_ct: dict
     tabs_exp: dict
@@ -50,19 +50,26 @@ class ModRaiseKeyArrays:
     inv_ps_mont: jnp.ndarray  # (Lc, 1)  ps^{-1} mod q_j, Montgomery
     exp_ring: RingContext
     ct_ring: RingContext
+    window: int = 0           # hybrid gadget window (0 = pure RNS digits)
+    k_per_limb: int = 1
 
 
 def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
     """Extract stacked arrays from an engine KeySwitchKey under
     ModulusRaised params (downswitch to [ct limbs..., special]).
     ``ct_ring`` selects the tower level (defaults to the full ct ring)."""
+    from ..core.rlwe import _gadget_shape
+
     full = params.params.ring_cipher          # parent full ring
     ct_ring = ct_ring if ct_ring is not None else params.ring_cipher
     Lc = ct_ring.nlimbs
+    window = params.relin_window
+    kpl = _gadget_shape(params.ring_cipher, window)[0] if window else 1
+    ndig = Lc * kpl
     exp_ring = full.select(list(range(Lc)) + [full.nlimbs - 1])
     which = list(range(Lc)) + [full.nlimbs - 1]
     masks, maskeds = [], []
-    for comp in ksk.key[:Lc]:
+    for comp in ksk.key[:ndig]:
         _, m = R.limb_select(full, R.ensure_dual(full, comp.mask), which)
         _, md = R.limb_select(full, R.ensure_dual(full, comp.masked), which)
         masks.append(m.dual)
@@ -76,7 +83,30 @@ def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
         tabs_ct=full_table_pytree(ct_ring.tables),
         tabs_exp=full_table_pytree(exp_ring.tables),
         ps_res=jnp.asarray(ps_res), inv_ps_mont=jnp.asarray(inv_ps),
-        exp_ring=exp_ring, ct_ring=ct_ring)
+        exp_ring=exp_ring, ct_ring=ct_ring, window=window, k_per_limb=kpl)
+
+
+def _gadget_digits(ka: ModRaiseKeyArrays, xp):
+    """Digit duals [(..., ndig, Le, N)] for the unified gadget
+    (rlwe.gadget_decompose semantics, device-vectorized)."""
+    mp_ct = _mp_full(ka.tabs_ct)
+    mp_exp = _mp_full(ka.tabs_exp)
+    Lc, n = xp.shape[-2], xp.shape[-1]
+    Le = Lc + 1
+    if ka.window == 0:
+        lifts = modmath.centered(xp, mp_ct)
+        digs = modmath.from_signed(
+            jnp.broadcast_to(lifts[..., :, None, :],
+                             lifts.shape[:-2] + (Lc, Le, n)), mp_exp)
+    else:
+        K = ka.k_per_limb
+        shifts = (np.uint32(ka.window) * np.arange(K, dtype=np.uint32)
+                  )[:, None, None]
+        mask = np.uint32((1 << ka.window) - 1)
+        d = (xp[..., :, None, None, :] >> shifts) & mask   # (.., Lc, K, 1, n)
+        digs = jnp.broadcast_to(d, xp.shape[:-2] + (Lc, K, Le, n))
+        digs = digs.reshape(xp.shape[:-2] + (Lc * K, Le, n)).astype(jnp.uint32)
+    return S.ntt_p(digs, ka.tabs_exp)
 
 
 def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
@@ -85,13 +115,8 @@ def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
     ModulusRaised expand/contract). Returns primal (Lc, N) components."""
     mp_ct = _mp_full(ka.tabs_ct)
     mp_exp = _mp_full(ka.tabs_exp)
-    Lc, n = c1p.shape[-2], c1p.shape[-1]
-    # digits: centered lifts of each ct limb embedded across the exp tower
-    lifts = modmath.centered(c2p, mp_ct)                       # (Lc, N) int32
-    digs = modmath.from_signed(
-        jnp.broadcast_to(lifts[..., :, None, :],
-                         lifts.shape[:-2] + (Lc, Lc + 1, n)), mp_exp)
-    ddual = S.ntt_p(digs, ka.tabs_exp)                         # (Lc, Le, N)
+    n = c1p.shape[-1]
+    ddual = _gadget_digits(ka, c2p)                            # (ndig, Le, N)
     acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp), mp_exp, -3)
     acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
     # expand c1 by ps and adjoin the zero special limb (in the dual domain
@@ -227,12 +252,8 @@ def _modraise_keyswitch_pair(ka: ModRaiseKeyArrays, d1_dual, d2_dual, d3p):
     d1/d2 already dual in the ct ring. Returns primal ct-ring comps."""
     mp_ct = _mp_full(ka.tabs_ct)
     mp_exp = _mp_full(ka.tabs_exp)
-    Lc, n = d3p.shape[-2], d3p.shape[-1]
-    lifts = modmath.centered(d3p, mp_ct)
-    digs = modmath.from_signed(
-        jnp.broadcast_to(lifts[..., :, None, :],
-                         lifts.shape[:-2] + (Lc, Lc + 1, n)), mp_exp)
-    ddual = S.ntt_p(digs, ka.tabs_exp)
+    n = d3p.shape[-1]
+    ddual = _gadget_digits(ka, d3p)
     acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp), mp_exp, -3)
     acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
     zero = jnp.zeros(d1_dual.shape[:-2] + (1, n), dtype=jnp.uint32)
