@@ -140,3 +140,45 @@ def test_hybrid_window_layer_bitexact():
         ref2 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[1]).primal)
         np.testing.assert_array_equal(np.asarray(o1), ref1)
         np.testing.assert_array_equal(np.asarray(o2), ref2)
+
+
+def test_fused_pallas_keyswitch():
+    """Fused Pallas keyswitch kernel (digits+NTTs+contract+INTT in VMEM)
+    bit-exact vs the compiled-layer path (interpret mode)."""
+    from toyfhe_tpu.ops import modmath, ntt as nttmod
+    from toyfhe_tpu.ops import pallas_keyswitch as PKS
+    from toyfhe_tpu.parallel.ops import _mp_full
+
+    N = 64
+    ring = F.make_rns_ring(N, (29, 28, 28, 29))
+    params = F.ModulusRaised(F.CKKSParams(ring, 8, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    kp = F.keygen(params, ks[0])
+    gk = F.keygen_galois(ks[1], kp.priv, steps=1)
+    vals = np.linspace(0.5, 2.0, N // 2)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), ks[2])
+
+    ka = L.build_modraise_key_arrays(params, gk.key)
+    ct_ring = ka.ct_ring
+    g = F.apply_galois_ct(c, gk.galois_element)
+    c1p = np.asarray(ringops.ensure_primal(ct_ring, g.cs[0]).primal)
+    c2p = np.asarray(ringops.ensure_primal(ct_ring, g.cs[1]).primal)
+    r1, r2 = L._modraise_keyswitch(ka, jnp.asarray(c1p), jnp.asarray(c2p))
+
+    fk = PKS.FusedKeyswitch(ka.exp_ring.tables, np.asarray(ka.masks),
+                            np.asarray(ka.maskeds), ka.window,
+                            ka.k_per_limb, ct_ring.nlimbs)
+    mp_ct = _mp_full(ka.tabs_ct)
+    c1d = np.asarray(nttmod.ntt(ct_ring.tables, modmath.mul_mod(
+        jnp.asarray(c1p), ka.ps_res, mp_ct)))
+    c1e = np.concatenate([c1d, np.zeros((1, N), np.uint32)], 0)[:, fk.brev]
+    o1, o2 = fk(jnp.asarray(c2p), jnp.asarray(c1e), interpret=True)
+
+    def rescale(x):
+        last_mod = modmath.umod(jnp.asarray(np.asarray(x)[-1:]), mp_ct.p)
+        diff = modmath.sub_mod(jnp.asarray(np.asarray(x)[:-1]), last_mod, mp_ct)
+        return np.asarray(modmath.mont_mul(diff, ka.inv_ps_mont, mp_ct))
+
+    np.testing.assert_array_equal(rescale(o1), np.asarray(r1))
+    np.testing.assert_array_equal(rescale(o2), np.asarray(r2))
