@@ -110,21 +110,21 @@ def _mod_dot_xw(xd, wd, cs, corr, r1m, him, p, ninv):
 
 def _fwd_kernel(x_ref, w1_ref, w2_ref, tw_ref, psi_ref, cs_ref, sc_ref,
                 out_ref, *, rows, n2):
+    # one grid cell = one (limb, row): keeps the Mosaic program small
+    # (32 dots) — unrolling rows in-kernel made compilation explode.
     p = sc_ref[0, 0]
     ninv = sc_ref[0, 1]
     corr = sc_ref[0, 2]
     r1m = sc_ref[0, 3]
     him = sc_ref[0, 4]
     cs = [cs_ref[s, 0] for s in range(2 * _NDIG - 1)]
-    psi = psi_ref[...]
-    for r in range(rows):
-        x = _mm_scalar(x_ref[r], psi, p, ninv)               # ψ-twist (N1, n2)
-        # stage 1: A[k1, j2] = Σ_{j1} W1[j1, k1]·X[j1, j2]
-        a = _mod_dot_wx(_digits_i8(x), w1_ref, cs, corr, r1m, him, p, ninv)
-        b = _mm_scalar(a, tw_ref[...], p, ninv)              # ⊙ ω^{k1·j2}
-        # stage 2: C[k1, k2] = Σ_{j2} B[k1, j2]·W2[j2, k2]
-        c = _mod_dot_xw(_digits_i8(b), w2_ref, cs, corr, r1m, him, p, ninv)
-        out_ref[r] = c                                       # (k1, k2)
+    x = _mm_scalar(x_ref[...], psi_ref[...], p, ninv)        # ψ-twist (N1, n2)
+    # stage 1: A[k1, j2] = Σ_{j1} W1[j1, k1]·X[j1, j2]
+    a = _mod_dot_wx(_digits_i8(x), w1_ref, cs, corr, r1m, him, p, ninv)
+    b = _mm_scalar(a, tw_ref[...], p, ninv)                  # ⊙ ω^{k1·j2}
+    # stage 2: C[k1, k2] = Σ_{j2} B[k1, j2]·W2[j2, k2]
+    c = _mod_dot_xw(_digits_i8(b), w2_ref, cs, corr, r1m, him, p, ninv)
+    out_ref[...] = c                                         # (k1, k2)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -145,18 +145,18 @@ def ntt_mxu_pallas(mt: MxuNttTables, x, psis, interpret: bool = False):
     kernel = functools.partial(_fwd_kernel, rows=R, n2=n2)
     return pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(L, R),
         in_specs=[
-            pl.BlockSpec((None, R, N1, n2), lambda l: (l, 0, 0, 0)),
-            pl.BlockSpec((None, _NDIG, N1, N1), lambda l: (l, 0, 0, 0)),
-            pl.BlockSpec((None, _NDIG, n2, n2), lambda l: (l, 0, 0, 0)),
-            pl.BlockSpec((None, N1, n2), lambda l: (l, 0, 0)),
-            pl.BlockSpec((None, N1, n2), lambda l: (l, 0, 0)),
-            pl.BlockSpec((None, 2 * _NDIG - 1, 1), lambda l: (l, 0, 0)),
-            pl.BlockSpec((None, 1, 5), lambda l: (l, 0, 0),
+            pl.BlockSpec((None, None, N1, n2), lambda l, r: (l, r, 0, 0)),
+            pl.BlockSpec((None, _NDIG, N1, N1), lambda l, r: (l, 0, 0, 0)),
+            pl.BlockSpec((None, _NDIG, n2, n2), lambda l, r: (l, 0, 0, 0)),
+            pl.BlockSpec((None, N1, n2), lambda l, r: (l, 0, 0)),
+            pl.BlockSpec((None, N1, n2), lambda l, r: (l, 0, 0)),
+            pl.BlockSpec((None, 2 * _NDIG - 1, 1), lambda l, r: (l, 0, 0)),
+            pl.BlockSpec((None, 1, 5), lambda l, r: (l, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((None, R, N1, n2), lambda l: (l, 0, 0, 0)),
+        out_specs=pl.BlockSpec((None, None, N1, n2), lambda l, r: (l, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((L, R, N1, n2), jnp.uint32),
         interpret=interpret,
     )(x, jnp.asarray(mt.w1), jnp.asarray(mt.w2), jnp.asarray(mt.tw),
