@@ -96,3 +96,22 @@ def test_ntt_tables_shard(setup):
     from toyfhe_tpu.ops import ntt as nttmod
     expect = np.asarray(nttmod.ntt(ring.tables, x))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_ntt_p_lazy_bitexact():
+    """Harvey lazy path of the shardable NTT matches the exact path."""
+    import toyfhe_tpu as F
+    from toyfhe_tpu.ops import ntt as nttmod
+
+    ring = F.make_rns_ring(128, (28, 27))     # all primes < 2^30
+    assert ring.tables.lazy_ok
+    tabs = S.ntt_table_pytree(ring.tables)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack([rng.integers(0, p, 128, dtype=np.uint32)
+                              for p in ring.primes]))
+    a = np.asarray(S.ntt_p(x, tabs, lazy=True))
+    b = np.asarray(S.ntt_p(x, tabs, lazy=False))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, np.asarray(nttmod.ntt(ring.tables, x)))
+    ia = np.asarray(S.intt_p(x, tabs, lazy=True))
+    np.testing.assert_array_equal(ia, np.asarray(nttmod.intt(ring.tables, x)))

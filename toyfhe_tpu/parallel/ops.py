@@ -60,7 +60,7 @@ def full_table_specs() -> dict:
 
 
 def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
-                                tabs, axis_name=None):
+                                tabs, axis_name=None, lazy=False):
     """Square → relinearize → rescale on ciphertext duals.
 
     With ``axis_name`` set this is a shard_map body over the 'rp' limb
@@ -84,7 +84,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
 
     # --- relinearize d3 back onto (d1, d2) ---
     # primal of d3, centered lift of local limbs, share with all shards
-    d3p = S.intt_p(d3, tabs)
+    d3p = S.intt_p(d3, tabs, lazy)
     lifts = modmath.centered(d3p, mp)                       # int32[B, L_loc, N]
     if axis_name is not None:
         all_lifts = jax.lax.all_gather(lifts, axis_name, axis=1, tiled=True)
@@ -92,7 +92,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
         all_lifts = lifts
     # digits for local limbs: [B, L, L_loc, N]
     digs = modmath.from_signed(all_lifts[..., :, None, :], mp)
-    digs = S.ntt_p(digs, tabs)
+    digs = S.ntt_p(digs, tabs, lazy)
     acc1 = modmath.mod_sum(_mulmod_t(digs, key_maskeds, tabs), mp, axis=-3)
     acc2 = modmath.mod_sum(_mulmod_t(digs, key_masks, tabs), mp, axis=-3)
     r1 = modmath.add_mod(d1, acc1, mp)
@@ -100,7 +100,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
     out = jnp.stack([r1, r2], axis=1)                       # [B, 2, L_loc, N]
 
     # --- rescale by the last limb (crt.jl:215-220), static shapes ---
-    outp = S.intt_p(out, tabs)
+    outp = S.intt_p(out, tabs, lazy)
     last_local = outp[..., -1:, :]                          # [B, 2, 1, N]
     if axis_name is not None:
         idx = jax.lax.axis_index(axis_name)
@@ -118,7 +118,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
     L_glob = nsh * mp.p.shape[0]
     keep = (limb_ids < L_glob - 1)[:, None]
     res = jnp.where(keep, res, 0)
-    return S.ntt_p(res, tabs)
+    return S.ntt_p(res, tabs, lazy)
 
 
 def make_single_chip_step(tables, key_masks, key_maskeds):
@@ -131,9 +131,11 @@ def make_single_chip_step(tables, key_masks, key_maskeds):
          for p in tables.primes], dtype=np.uint64).astype(np.uint32)
     km = jnp.asarray(key_masks)
     kd = jnp.asarray(key_maskeds)
+    lazy = tables.lazy_ok
 
     def step(c):
-        return _square_relin_rescale_local(c, km, kd, jnp.asarray(rescale_inv), tabs)
+        return _square_relin_rescale_local(c, km, kd, jnp.asarray(rescale_inv),
+                                           tabs, lazy=lazy)
 
     return jax.jit(step)
 
@@ -156,7 +158,8 @@ def make_sharded_step(mesh: Mesh, tables, key_masks, key_maskeds):
     key_spec = P(None, "rp", None)
     tab_specs = full_table_specs()
 
-    body = functools.partial(_square_relin_rescale_local, axis_name="rp")
+    body = functools.partial(_square_relin_rescale_local, axis_name="rp",
+                             lazy=tables.lazy_ok)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(data_spec, key_spec, key_spec, P("rp", None), tab_specs),

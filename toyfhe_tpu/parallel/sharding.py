@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import modmath
 
-from ..ops.ntt import NttTables, _mont_mul_raw, _add_raw, _sub_raw
+from ..ops.ntt import (NttTables, _mont_mul_raw, _mont_mul_lazy, _add_raw,
+                       _sub_raw)
 
 
 # ---------------------------------------------------------------------------
@@ -65,33 +66,50 @@ def table_specs(batch_dims: int = 0) -> dict:
     }
 
 
-def _dft_stages_p(x, tw_list, p, ninv, bitrev):
+def _dft_stages_p(x, tw_list, p, ninv, bitrev, lazy=False):
+    """Radix-2 stages; with ``lazy=True`` (all primes < 2^30, decided
+    statically at build time) uses Harvey lazy butterflies — one
+    conditional per butterfly, values in [0, 4p), final correction."""
     n = x.shape[-1]
     lead = x.shape[:-1]
     p3 = p[..., None]
     ninv3 = ninv[..., None]
+    two_p = p3 + p3
     x = jnp.take(x, bitrev, axis=-1)
     ln = 2
     for s in range(n.bit_length() - 1):
         half = ln // 2
         xs = x.reshape(lead + (n // ln, ln))
         u = xs[..., :half]
-        v = _mont_mul_raw(xs[..., half:], tw_list[s], p3, ninv3)
-        x = jnp.concatenate([_add_raw(u, v, p3), _sub_raw(u, v, p3)], axis=-1)
+        v = xs[..., half:]
+        if lazy:
+            u = jnp.where(u >= two_p, u - two_p, u)
+            t = _mont_mul_lazy(v, tw_list[s], p3, ninv3)
+            x = jnp.concatenate([u + t, u + two_p - t], axis=-1)
+        else:
+            t = _mont_mul_raw(v, tw_list[s], p3, ninv3)
+            x = jnp.concatenate([_add_raw(u, t, p3), _sub_raw(u, t, p3)],
+                                axis=-1)
         x = x.reshape(lead + (n,))
         ln *= 2
+    if lazy:
+        tp2 = p + p
+        x = jnp.where(x >= tp2, x - tp2, x)
+        x = jnp.where(x >= p, x - p, x)
     return x
 
 
-def ntt_p(x, tabs: dict):
+def ntt_p(x, tabs: dict, lazy: bool = False):
     """Forward negacyclic NTT on uint32[..., L, N] with tables-as-arrays
     (shardable along L)."""
     x = _mont_mul_pt(x, tabs["psi_pow"], tabs)
-    return _dft_stages_p(x, tabs["tw"], tabs["p"], tabs["ninv"], tabs["bitrev"])
+    return _dft_stages_p(x, tabs["tw"], tabs["p"], tabs["ninv"],
+                         tabs["bitrev"], lazy)
 
 
-def intt_p(x, tabs: dict):
-    x = _dft_stages_p(x, tabs["twi"], tabs["p"], tabs["ninv"], tabs["bitrev"])
+def intt_p(x, tabs: dict, lazy: bool = False):
+    x = _dft_stages_p(x, tabs["twi"], tabs["p"], tabs["ninv"],
+                      tabs["bitrev"], lazy)
     return _mont_mul_pt(x, tabs["psi_ipow"], tabs)
 
 
