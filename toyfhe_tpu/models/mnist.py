@@ -50,12 +50,13 @@ class MNISTConfig:
     classes: int = 10
     ring_logn: int = 13      # CKKS ring: N = 2^logn, slots = N/2
     # Tower shape mirrors infer.jl:97-110's (60, 40×5, special) re-planned
-    # to <2^31 limbs: all-30-bit limbs with scale 2^30 — the scale matches
-    # the rescale primes (keeps scales stable across levels), the two
-    # surviving bottom limbs (2^60) exceed the final scale² · value range,
-    # and the last limb is the special prime.
-    limb_bits: Tuple[int, ...] = (30,) * 8
-    scale_log2: int = 30   # scale ≈ rescale-limb size keeps scales stable
+    # to small limbs: all-28-bit primes with scale 2^28 — the scale matches
+    # the rescale primes (keeps scales stable across levels), the three
+    # surviving bottom limbs (2^84) cover the final scale²·value range,
+    # primes < 2^30 enable Harvey lazy butterflies everywhere, and the
+    # last limb is the special prime.
+    limb_bits: Tuple[int, ...] = (28,) * 8
+    scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
 
     @property
     def positions(self) -> int:            # conv output positions per image

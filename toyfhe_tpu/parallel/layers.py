@@ -52,6 +52,7 @@ class ModRaiseKeyArrays:
     ct_ring: RingContext
     window: int = 0           # hybrid gadget window (0 = pure RNS digits)
     k_per_limb: int = 1
+    lazy: bool = False        # Harvey lazy butterflies (all primes < 2^30)
 
 
 def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
@@ -83,7 +84,8 @@ def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
         tabs_ct=full_table_pytree(ct_ring.tables),
         tabs_exp=full_table_pytree(exp_ring.tables),
         ps_res=jnp.asarray(ps_res), inv_ps_mont=jnp.asarray(inv_ps),
-        exp_ring=exp_ring, ct_ring=ct_ring, window=window, k_per_limb=kpl)
+        exp_ring=exp_ring, ct_ring=ct_ring, window=window, k_per_limb=kpl,
+        lazy=ct_ring.tables.lazy_ok and exp_ring.tables.lazy_ok)
 
 
 def _gadget_digits(ka: ModRaiseKeyArrays, xp):
@@ -106,7 +108,7 @@ def _gadget_digits(ka: ModRaiseKeyArrays, xp):
         d = (xp[..., :, None, None, :] >> shifts) & mask   # (.., Lc, K, 1, n)
         digs = jnp.broadcast_to(d, xp.shape[:-2] + (Lc, K, Le, n))
         digs = digs.reshape(xp.shape[:-2] + (Lc * K, Le, n)).astype(jnp.uint32)
-    return S.ntt_p(digs, ka.tabs_exp)
+    return S.ntt_p(digs, ka.tabs_exp, ka.lazy)
 
 
 def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
@@ -121,14 +123,14 @@ def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
     acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
     # expand c1 by ps and adjoin the zero special limb (in the dual domain
     # — scalar multiply and zero-limb are domain-independent)
-    c1d = S.ntt_p(modmath.mul_mod(c1p, ka.ps_res, mp_ct), ka.tabs_ct)
+    c1d = S.ntt_p(modmath.mul_mod(c1p, ka.ps_res, mp_ct), ka.tabs_ct, ka.lazy)
     zero = jnp.zeros(c1d.shape[:-2] + (1, n), dtype=jnp.uint32)
     c1e = jnp.concatenate([c1d, zero], axis=-2)
     r1 = modmath.add_mod(c1e, acc1, mp_exp)
     r2 = acc2
     # contract: rescale by the special prime (needs primal)
-    r1p = S.intt_p(r1, ka.tabs_exp)
-    r2p = S.intt_p(r2, ka.tabs_exp)
+    r1p = S.intt_p(r1, ka.tabs_exp, ka.lazy)
+    r2p = S.intt_p(r2, ka.tabs_exp, ka.lazy)
 
     def rescale(x):
         last = x[..., -1:, :]
@@ -164,8 +166,8 @@ class RotateMatmulLayer:
 
         def fn(c1p, c2p, diag_dual):
             mp = _mp_full(ka.tabs_ct)
-            c1d = S.ntt_p(c1p, ka.tabs_ct)
-            c2d = S.ntt_p(c2p, ka.tabs_ct)
+            c1d = S.ntt_p(c1p, ka.tabs_ct, ka.lazy)
+            c2d = S.ntt_p(c2p, ka.tabs_ct, ka.lazy)
             res1 = modmath.mul_mod(c1d, diag_dual[0], mp)
             res2 = modmath.mul_mod(c2d, diag_dual[0], mp)
 
@@ -174,8 +176,8 @@ class RotateMatmulLayer:
                 g1 = galois(r1p, mp)
                 g2 = galois(r2p, mp)
                 o1, o2 = _modraise_keyswitch(ka, g1, g2)
-                od1 = S.ntt_p(o1, ka.tabs_ct)
-                od2 = S.ntt_p(o2, ka.tabs_ct)
+                od1 = S.ntt_p(o1, ka.tabs_ct, ka.lazy)
+                od2 = S.ntt_p(o2, ka.tabs_ct, ka.lazy)
                 dk = jax.lax.dynamic_index_in_dim(diag_dual, k, 0,
                                                   keepdims=False)
                 res1 = modmath.add_mod(res1, modmath.mul_mod(od1, dk, mp), mp)
@@ -213,8 +215,8 @@ class SquareRelinLayer:
 
         def fn(c1p, c2p):
             mp = _mp_full(ka.tabs_ct)
-            c1d = S.ntt_p(c1p, ka.tabs_ct)
-            c2d = S.ntt_p(c2p, ka.tabs_ct)
+            c1d = S.ntt_p(c1p, ka.tabs_ct, ka.lazy)
+            c2d = S.ntt_p(c2p, ka.tabs_ct, ka.lazy)
             d1 = modmath.mul_mod(c1d, c1d, mp)
             mid = modmath.mul_mod(c1d, c2d, mp)
             d2 = modmath.add_mod(mid, mid, mp)
@@ -261,8 +263,8 @@ def _modraise_keyswitch_pair(ka: ModRaiseKeyArrays, d1_dual, d2_dual, d3p):
     e2 = jnp.concatenate([modmath.mul_mod(d2_dual, ka.ps_res, mp_ct), zero], -2)
     r1 = modmath.add_mod(e1, acc1, mp_exp)
     r2 = modmath.add_mod(e2, acc2, mp_exp)
-    r1p = S.intt_p(r1, ka.tabs_exp)
-    r2p = S.intt_p(r2, ka.tabs_exp)
+    r1p = S.intt_p(r1, ka.tabs_exp, ka.lazy)
+    r2p = S.intt_p(r2, ka.tabs_exp, ka.lazy)
 
     def rescale(x):
         last = x[..., -1:, :]
