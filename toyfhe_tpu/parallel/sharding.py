@@ -233,3 +233,50 @@ def coeff_sharded_ntt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
         return c.reshape(c.shape[:-2] + (n2 * (N1 // nshards),))
 
     return body
+
+
+def coeff_sharded_intt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
+    """shard_map body for the INVERSE coefficient-sharded transform: takes
+    the dual in :func:`coeff_shard_layout`'s output layout (k1-sharded,
+    k2-major) and returns coefficients in the input layout (j2-sharded,
+    j1-major) — the exact mirror of :func:`coeff_sharded_ntt_fn`, again
+    with ONE all_to_all between two local modular-matmul stages.
+    """
+    from ..ops import modmath as MM
+    from ..ops import ntt_mxu as MX
+
+    mt = mxu_tables
+    n, n2, N1 = mt.n, mt.n2, MX.N1
+    npb = n2 // nshards
+    k1pb = N1 // nshards
+    mp = mt.mp
+    mp3 = MX._mp3(mp)
+    w1i = jnp.asarray(mt.w1i)
+    w2i = jnp.asarray(mt.w2i)
+    twi = jnp.asarray(mt.twi)
+    in_src, _ = coeff_shard_layout(n, n2, nshards)
+    ipsi_layout = jnp.asarray(np.asarray(mt.psi_ipow)[:, in_src])
+
+    def body(y_local):
+        idx = jax.lax.axis_index(axis_name)
+        nloc = y_local.shape[-1]
+        # out layout: (k2-major, k1loc) for my k1 block
+        ym = y_local.reshape(y_local.shape[:-1] + (n2, k1pb))
+        # stage 1 (local): D[j2, k1loc] = Σ_{k2} W2⁻¹[k2, j2]·Y[k2, k1loc]
+        d = MX._mod_matmul(mt, MX._balanced_digits_device(ym), w2i, mp3)
+        # inverse twiddle ω^{-k1·j2} for my k1 block: (L, j2, k1loc)
+        twl = jax.lax.dynamic_slice_in_dim(twi, idx * k1pb, k1pb, 1)
+        d = MM.mont_mul(d, jnp.swapaxes(twl, -1, -2), mp3)
+        # ONE all_to_all: k1-sharded -> j2-sharded (split j2, concat k1)
+        e = jax.lax.all_to_all(d, axis_name, split_axis=d.ndim - 2,
+                               concat_axis=d.ndim - 1, tiled=True)
+        # e: (L, n2/C, N1) = [j2loc, k1] with full k1
+        et = jnp.swapaxes(e, -1, -2)                  # (L, k1, j2loc)
+        # stage 2 (local): X[j1, j2loc] = Σ_{k1} W1⁻¹[k1, j1]·E[k1, j2loc]
+        x = MX._mod_matmul(mt, MX._balanced_digits_device(et), w1i, mp3)
+        out = x.reshape(x.shape[:-2] + (N1 * npb,))
+        ipsi_loc = jax.lax.dynamic_slice_in_dim(ipsi_layout, idx * nloc,
+                                                nloc, 1)
+        return MM.mont_mul(out, ipsi_loc, mp)
+
+    return body
