@@ -76,3 +76,26 @@ def test_bgv_noise_budget_positive():
     b2 = F.bgv_noise_budget(kp, y)
     assert b2 < b1
     assert F.decrypt(kp, y)[0] == 9
+
+
+def test_ckks_tower_planner():
+    """Planner-produced tower survives its declared depth."""
+    from fractions import Fraction
+
+    from toyfhe_tpu.core.planner import plan_ckks_tower
+
+    limbs, s = plan_ckks_tower(n=32, depth=2, scale_bits=26, value_bits=4)
+    ring = F.make_rns_ring(32, limbs)
+    params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    vals = np.linspace(0.5, 8.0, 16)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** s), ks[2])
+    # depth-2 circuit: square -> relin -> rescale, twice
+    for _ in range(2):
+        c = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+        vals = vals ** 2
+    got = F.decrypt(kp, c).real
+    np.testing.assert_allclose(got, vals, rtol=1e-4)

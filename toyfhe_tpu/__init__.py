@@ -33,6 +33,7 @@ from .core.ckks_encoding import (CKKSPlaintext, CKKSTag, make_plaintext,
 from .core.modraise import ModulusRaised
 from .core.insecure import InsecureDebug
 from .core.noise import bgv_noise_budget, ckks_precision, ckks_scale_bits
+from .core.planner import plan_ckks_tower, plan_ckks_ring
 from .core import cryptparams
 from .utils import metrics, serialization
 
