@@ -99,3 +99,24 @@ def test_ckks_tower_planner():
         vals = vals ** 2
     got = F.decrypt(kp, c).real
     np.testing.assert_allclose(got, vals, rtol=1e-4)
+
+
+def test_batched_ciphertexts():
+    """Leading batch axes broadcast through the full engine: stack three
+    ciphertexts, square+relinearize+rescale the batch in one go."""
+    from fractions import Fraction
+
+    ring = F.make_rns_ring(32, (28, 27, 27, 28))
+    params = F.ModulusRaised(F.CKKSParams(ring, 8, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(8), 6)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    vals = [np.linspace(0.3, 2.0, 16) * (i + 1) for i in range(3)]
+    cts = [F.encrypt(kp, F.make_plaintext(params.ring_cipher, v,
+                                          Fraction(2) ** 26), k)
+           for v, k in zip(vals, jax.random.split(ks[2], 3))]
+    batched = F.ct_stack(cts)
+    y = F.ct_rescale(F.keyswitch(ek, F.ct_mul(batched, batched)))
+    for i in range(3):
+        got = F.decrypt(kp, F.ct_index(y, i)).real
+        np.testing.assert_allclose(got, vals[i] ** 2, atol=1e-3)

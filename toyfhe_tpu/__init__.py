@@ -22,7 +22,7 @@ from .core.rlwe import (SchemeParams, PassthroughParams, PrivKey, PubKey,
                         keygen, encrypt, decrypt, ct_add, ct_sub, ct_mul,
                         ct_add_ring, keyswitch, rotate, make_eval_key,
                         keygen_eval_mult, keygen_galois, keygen_galois_set,
-                        apply_galois_ct, ct_modswitch_drop, ct_rescale,
+                        apply_galois_ct, ct_modswitch_drop, ct_rescale, ct_stack, ct_index,
                         decrypt_raw, galois_element_for_steps)
 from .core.bfv import BFVParams, bfv_params, invariant_noise_budget
 from .core.bgv import BGVParams

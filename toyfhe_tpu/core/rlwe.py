@@ -574,6 +574,13 @@ def keyswitch(ek, c: CipherText) -> CipherText:
     # modswitch drops, only the first ndig gadget components apply
     # (downswitch_keyelement, crt.jl:238-244)
     masks, maskeds = _downswitch_stack(params, ek, exp_ring, int(digits.shape[0]))
+    # batched ciphertexts carry leading axes between the digit and limb
+    # axes — insert singleton dims so the key stacks broadcast
+    extra = ddual.ndim - 3
+    if extra:
+        shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
+        masks = masks.reshape(shp)
+        maskeds = maskeds.reshape(shp)
     mp = exp_ring.mp
     acc2 = _mod_sum(modmath.mul_mod(masks, ddual, mp), mp)
     acc1 = _mod_sum(modmath.mul_mod(maskeds, ddual, mp), mp)
@@ -666,3 +673,34 @@ def ct_rescale(c: CipherText) -> CipherText:
         cs.append(y)
     enc = c.enc.rescale_by(ring.primes[-1]) if c.enc is not None and hasattr(c.enc, "rescale_by") else c.enc
     return CipherText(c.params, tuple(cs), sub, enc=enc)
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext batching (leading axes broadcast through the whole engine)
+# ---------------------------------------------------------------------------
+
+def ct_stack(cts) -> CipherText:
+    """Stack ciphertexts with identical params/ring/encoding into one
+    batched ciphertext (leading batch axis). Every engine op — add, mul,
+    keyswitch, rotate, rescale — broadcasts over leading axes."""
+    c0 = cts[0]
+    for c in cts[1:]:
+        if c.params is not c0.params or c.ring is not c0.ring:
+            raise UsageError("ct_stack requires identical params and tower")
+        if len(c.cs) != len(c0.cs):
+            raise UsageError("ct_stack requires equal component counts")
+    cs = []
+    for i in range(len(c0.cs)):
+        duals = [R.ensure_dual(c0.ring, c.cs[i]).dual for c in cts]
+        cs.append(RingElt(dual=jnp.stack(duals, axis=0)))
+    return CipherText(c0.params, tuple(cs), c0.ring, enc=c0.enc)
+
+
+def ct_index(c: CipherText, i: int) -> CipherText:
+    """Extract element i of a batched ciphertext."""
+    cs = []
+    for x in c.cs:
+        cs.append(RingElt(
+            primal=None if x.primal is None else x.primal[i],
+            dual=None if x.dual is None else x.dual[i]))
+    return CipherText(c.params, tuple(cs), c.ring, enc=c.enc)
