@@ -29,3 +29,25 @@ def test_roundtrip(tmp_path):
     ek2 = F.EvalMultKey(ser.load_keyswitch_key(str(tmp_path / "ek.npz"), params))
     y = F.keyswitch(ek2, F.ct_mul(c, c))
     np.testing.assert_allclose(F.decrypt(kp, y).real, vals ** 2, atol=1e-2)
+
+
+def test_galois_and_evalmult_key_roundtrip(tmp_path):
+    ring = F.make_rns_ring(32, (30, 29, 29))
+    params = F.CKKSParams(ring, 4, 3.2)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    kp = F.keygen(params, ks[0])
+    gk = F.keygen_galois(ks[1], kp.priv, steps=1)
+    ser.save_galois_key(str(tmp_path / "gk.npz"), gk)
+    gk2 = ser.load_galois_key(str(tmp_path / "gk.npz"), params)
+    assert gk2.galois_element == gk.galois_element
+    vals = np.arange(1, 17, dtype=np.float64)
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 40), ks[2])
+    got = F.decrypt(kp, F.rotate(gk2, c))
+    np.testing.assert_allclose(got, np.roll(vals.astype(complex), 1),
+                               atol=1e-4)
+
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    ser.save_eval_mult_key(str(tmp_path / "ek.npz"), ek)
+    ek2 = ser.load_eval_mult_key(str(tmp_path / "ek.npz"), params)
+    y = F.keyswitch(ek2, F.ct_mul(c, c))
+    np.testing.assert_allclose(F.decrypt(kp, y).real, vals ** 2, atol=1e-2)
