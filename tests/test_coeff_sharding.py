@@ -75,3 +75,29 @@ def test_coeff_sharded_roundtrip(nshards):
     dual_nat[:, out_nat] = np.asarray(dual_layout)
     np.testing.assert_array_equal(
         np.asarray(nttmod.intt(t, jnp.asarray(dual_nat))), x)
+
+
+@pytest.mark.parametrize("nshards,element", [(2, 3), (4, 3), (8, 3**5),
+                                             (4, 2 * 1024 - 1)])
+def test_coeff_sharded_galois(nshards, element):
+    """Galois permutation under coefficient sharding (one padded
+    all_to_all) == the single-device gather (apply_galois), in the
+    four-step input layout."""
+    n, L = 1024, 2
+    t = nttmod.NttTables(n, nt.ntt_prime_chain(n, (29, 28)))
+    mt = mxu.MxuNttTables(t)
+    rng = np.random.default_rng(2)
+    x = np.stack([rng.integers(0, p, n, dtype=np.uint32) for p in t.primes])
+
+    src, neg = nttmod.galois_perm_tables(n, element)
+    expect = np.asarray(nttmod.apply_galois(t.mp, jnp.asarray(x), src, neg))
+
+    in_src, _ = S.coeff_shard_layout(n, mt.n2, nshards)
+    x_layout = x[:, in_src]
+    devs = np.asarray(jax.devices()[:nshards])
+    mesh = Mesh(devs, ("cp",))
+    body = S.coeff_sharded_galois_fn(mt, nshards, element)
+    f = shard_map(body, mesh=mesh, in_specs=P(None, "cp"),
+                  out_specs=P(None, "cp"), check_vma=False)
+    got_layout = np.asarray(jax.jit(f)(jnp.asarray(x_layout)))
+    np.testing.assert_array_equal(got_layout, expect[:, in_src])

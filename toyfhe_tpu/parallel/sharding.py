@@ -235,6 +235,108 @@ def coeff_sharded_ntt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
     return body
 
 
+def coeff_sharded_galois_plan(n: int, n2: int, nshards: int,
+                              galois_element: int):
+    """Host-side routing plan for the galois permutation x(X) ↦ x(X^g)
+    (reference ``apply_galois_element``, pow2_cyc_rings.jl:321-329) on
+    PRIMAL coefficients stored in :func:`coeff_shard_layout`'s *input*
+    layout (j2-sharded, j1-major locally).
+
+    Key structural fact: with j = j1·n2 + j2 and src[j] = g⁻¹·j mod n,
+    src[j] mod n2 = (g⁻¹ mod n2)·j2 mod n2 — the source *column* depends
+    only on the destination column. The permutation therefore routes whole
+    columns (N1 elements each) between shards, and one padded
+    ``all_to_all`` + a local gather realizes it exactly. Communication is
+    C·B columns per shard where B = max columns any (src, dst) pair
+    exchanges; for well-mixed g this is ≈ npb/C (optimal), degrading
+    toward an all_gather only when g⁻¹ ≡ ±1 mod n2 concentrates a block.
+
+    Returns (send_idx[C, C, B] int32 local column indices to ship,
+    recv_map[C, Nloc] int32 flat gather into the (N1, C·B) receive buffer,
+    neg_mask[C, Nloc] bool sign flips, B).
+    """
+    from ..ops.ntt import galois_perm_tables
+
+    src, neg = galois_perm_tables(n, galois_element)
+    N1 = n // n2
+    npb = n2 // nshards
+    nloc = n // nshards
+    # column map: dst column j2 ← src column col_src[j2] (whole column)
+    col_src = src[np.arange(n2)] % n2
+    assert np.all(src.reshape(N1, n2) % n2 == col_src), \
+        "galois source column must be constant per destination column"
+    # send lists per (src shard t, dst shard s)
+    lists = [[[] for _ in range(nshards)] for _ in range(nshards)]
+    for s in range(nshards):
+        for j2loc in range(npb):
+            j2s = int(col_src[s * npb + j2loc])
+            lists[j2s // npb][s].append(j2s % npb)
+    for t in range(nshards):
+        for s in range(nshards):
+            lists[t][s] = sorted(set(lists[t][s]))
+    B = max(1, max(len(lists[t][s]) for t in range(nshards)
+                   for s in range(nshards)))
+    send_idx = np.zeros((nshards, nshards, B), dtype=np.int32)
+    for t in range(nshards):
+        for s in range(nshards):
+            row = lists[t][s] or [0]
+            row = row + [row[-1]] * (B - len(row))
+            send_idx[t, s] = row
+    # receive-side gather: dst shard s, local pos (j1-major, j2loc)
+    recv_map = np.zeros((nshards, nloc), dtype=np.int32)
+    neg_mask = np.zeros((nshards, nloc), dtype=bool)
+    for s in range(nshards):
+        for pos in range(nloc):
+            j1, j2loc = divmod(pos, npb)
+            j = j1 * n2 + (s * npb + j2loc)
+            i = int(src[j])
+            j1s, j2s = divmod(i, n2)
+            t, cloc = divmod(j2s, npb)
+            b = lists[t][s].index(cloc)
+            recv_map[s, pos] = j1s * (nshards * B) + t * B + b
+            neg_mask[s, pos] = neg[j]
+    return send_idx, recv_map, neg_mask, B
+
+
+def coeff_sharded_galois_fn(mxu_tables, nshards: int, galois_element: int,
+                            axis_name: str = "cp"):
+    """shard_map body applying a galois permutation (with sign flips) to
+    uint32[..., L, N/C] primal coefficients in the four-step input layout,
+    using ONE padded all_to_all (see :func:`coeff_sharded_galois_plan`).
+
+    Completes the SURVEY §5 sequence-parallel story: slot rotations under
+    coefficient sharding are cross-shard index permutations.
+    """
+    mt = mxu_tables
+    n, n2 = mt.n, mt.n2
+    N1 = n // n2
+    npb = n2 // nshards
+    mp = mt.mp
+    send_idx, recv_map, neg_mask, B = coeff_sharded_galois_plan(
+        n, n2, nshards, galois_element)
+    send_c = jnp.asarray(send_idx)
+    recv_c = jnp.asarray(recv_map)
+    neg_c = jnp.asarray(neg_mask)
+
+    def body(x_local):
+        me = jax.lax.axis_index(axis_name)
+        lead = x_local.shape[:-1]
+        xm = x_local.reshape(lead + (N1, npb))
+        sidx = jax.lax.dynamic_slice_in_dim(send_c, me, 1, 0)[0]   # (C, B)
+        send = jnp.take(xm, sidx.reshape(-1), axis=-1)
+        send = send.reshape(lead + (N1, nshards, B))
+        recv = jax.lax.all_to_all(send, axis_name,
+                                  split_axis=len(lead) + 1,
+                                  concat_axis=len(lead) + 2, tiled=True)
+        flat = recv.reshape(lead + (N1 * nshards * B,))
+        ridx = jax.lax.dynamic_slice_in_dim(recv_c, me, 1, 0)[0]   # (Nloc,)
+        y = jnp.take(flat, ridx, axis=-1)
+        negm = jax.lax.dynamic_slice_in_dim(neg_c, me, 1, 0)[0]
+        return jnp.where(negm, modmath.neg_mod(y, mp), y)
+
+    return body
+
+
 def coeff_sharded_intt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
     """shard_map body for the INVERSE coefficient-sharded transform: takes
     the dual in :func:`coeff_shard_layout`'s output layout (k1-sharded,
