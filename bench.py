@@ -19,25 +19,67 @@ bench (BENCH_BASELINE.json, written on first run).
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
 
-def _slope_time(build_chain, args, k_small=2, k_big=18, reps=3):
-    """Median per-op seconds via chained-jit slope."""
-    f_small, f_big = build_chain(k_small), build_chain(k_big)
-    np.asarray(f_small(*args))
-    np.asarray(f_big(*args))
-    ts, tb = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+def _watchdog_smoke(timeout_s=240.0):
+    """Probe the backend with a trivial jitted op under a hard timeout.
+
+    The tunneled-TPU execute path can wedge (jax.devices() works but
+    execution hangs forever). Run the probe in a daemon thread; if it
+    does not finish in ``timeout_s``, report the backend unavailable
+    instead of letting the driver's timeout kill us with no output.
+    Returns the backend name, or None if the chip is stuck.
+
+    A healthy but cold tunnel needs ~90s for the FIRST trivial jitted op
+    (measured 2026-08-18), so the limit must sit well above that; the
+    probe doubles as connection warm-up for the real measurements.
+    """
+    result = {}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        y = np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.arange(8)))
+        assert int(y[3]) == 7
+        result["backend"] = jax.default_backend()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return result.get("backend") if not th.is_alive() else None
+
+
+def _slope_time(build_chain, args, k_small=2, k_big=18, reps=5,
+                max_tries=3):
+    """Median per-op seconds via chained-jit slope.
+
+    A noisy run can produce a non-positive slope (big chain no slower
+    than small — seen on the tunnel when transfer variance swamps a
+    short chain); retry with a longer chain instead of reporting a
+    floor value that reads as absurd throughput."""
+    for attempt in range(max_tries):
+        f_small, f_big = build_chain(k_small), build_chain(k_big)
         np.asarray(f_small(*args))
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
         np.asarray(f_big(*args))
-        tb.append(time.perf_counter() - t0)
-    return max(1e-9, (np.median(tb) - np.median(ts)) / (k_big - k_small))
+        slopes = []
+        for _ in range(reps):
+            # pair the two chains back-to-back so slow drift of the
+            # tunnel's round-trip latency cancels within each pair
+            t0 = time.perf_counter()
+            np.asarray(f_small(*args))
+            t1 = time.perf_counter()
+            np.asarray(f_big(*args))
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (k_big - k_small))
+        slope = float(np.median(slopes))
+        if slope > 0:
+            return slope
+        k_big = k_small + 2 * (k_big - k_small)
+    return float("nan")
 
 
 def _bench_ntt(batch=16, L=8, n=1 << 14):
@@ -109,8 +151,14 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
 
 
 def main():
-    import jax
-    backend = jax.default_backend()
+    backend = _watchdog_smoke()
+    if backend is None:
+        print(json.dumps({
+            "metric": "ntt_transforms_per_s_chip_n2^14", "value": 0,
+            "unit": "limb-NTT/s", "vs_baseline": 0.0,
+            "backend": "unavailable",
+            "note": "device execute wedged; watchdog tripped"}))
+        os._exit(0)
     ntt_per_s, ntt_t = _bench_ntt()
     ks_per_s, ks_t = _bench_keyswitch()
 
@@ -128,17 +176,20 @@ def main():
     else:
         json.dump(record, open(base_path, "w"))
 
+    def _num(x, nd):
+        return round(x, nd) if np.isfinite(x) else None
+
     out = {
         "metric": "ntt_transforms_per_s_chip_n2^14",
-        "value": round(ntt_per_s, 1),
+        "value": _num(ntt_per_s, 1),
         "unit": "limb-NTT/s",
-        "vs_baseline": round(vs, 3),
-        "keyswitch_per_s": round(ks_per_s, 2),
-        "ntt_batch_ms": round(ntt_t * 1e3, 3),
-        "keyswitch_step_ms": round(ks_t * 1e3, 3),
+        "vs_baseline": _num(vs, 3),
+        "keyswitch_per_s": _num(ks_per_s, 2),
+        "ntt_batch_ms": _num(ntt_t * 1e3, 3),
+        "keyswitch_step_ms": _num(ks_t * 1e3, 3),
         "backend": backend,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
