@@ -141,8 +141,10 @@ def _mp3(mp: MontParams) -> MontParams:
                      half=mp.half[..., None])
 
 
-def _mod_matmul(mt: MxuNttTables, digits_x, w_digits, mp3):
-    """out[..., l, j, c] = Σ_k W[l, k, j]·X[..., l, k, c] mod p.
+def _mod_matmul_c(digits_x, w_digits, cs, r1_mont, hi_mont, corr, mp3):
+    """out[..., l, j, c] = Σ_k W[l, k, j]·X[..., l, k, c] mod p, with the
+    digit-recombination constants passed explicitly (so shard_map can
+    partition them along the limb axis).
 
     digits_x: int8[4, ..., L, K, C]; w_digits: int8[L, 4, K, J].
     W matrices here are symmetric (Vandermonde of ω on both indices), so
@@ -158,17 +160,24 @@ def _mod_matmul(mt: MxuNttTables, digits_x, w_digits, mp3):
     hi = lo = None
     for s in range(2 * _NDIG - 1):
         H = (groups[s] + jnp.int32(_OFF)).astype(U32)        # < 2^24
-        h, l = mul32(H, jnp.asarray(mt.cs[s]))
+        h, l = mul32(H, cs[s])
         if hi is None:
             hi, lo = h, l
         else:
             nl = lo + l
             hi = hi + h + (nl < lo).astype(U32)
             lo = nl
-    t1 = modmath.mont_mul(lo, jnp.asarray(mt.r1_mont), mp3)
-    t2 = modmath.mont_mul(hi, jnp.asarray(mt.hi_mont), mp3)
+    t1 = modmath.mont_mul(lo, r1_mont, mp3)
+    t2 = modmath.mont_mul(hi, hi_mont, mp3)
     v = modmath.add_mod(t1, t2, mp3)
-    return modmath.sub_mod(v, jnp.broadcast_to(jnp.asarray(mt.corr), v.shape), mp3)
+    return modmath.sub_mod(v, jnp.broadcast_to(corr, v.shape), mp3)
+
+
+def _mod_matmul(mt: MxuNttTables, digits_x, w_digits, mp3):
+    """See :func:`_mod_matmul_c`; constants taken from ``mt``."""
+    return _mod_matmul_c(digits_x, w_digits, jnp.asarray(mt.cs),
+                         jnp.asarray(mt.r1_mont), jnp.asarray(mt.hi_mont),
+                         jnp.asarray(mt.corr), mp3)
 
 
 def _four_step(mt: MxuNttTables, x, w1, w2, twiddle, psi, pre: bool):

@@ -121,6 +121,102 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
     return S.ntt_p(res, tabs, lazy)
 
 
+def _square_relin_rescale_2axis(c, key_masks, key_maskeds, rescale_inv,
+                                ctabs, rp_axis="rp", cp_axis="cp"):
+    """2-axis sharded square → relinearize → rescale: RNS limbs on the
+    'rp' mesh axis AND the coefficient axis on 'cp' (SURVEY §5 — residue
+    parallelism composed with the sequence-parallel analogue).
+
+    Per-shard shapes (C_r limb shards × C_c coeff shards):
+      c:           uint32[B, 2, L/C_r, N/C_c]  ciphertext duals in the
+                   four-step OUTPUT layout (coeff_shard_layout out_nat)
+      key_*:       uint32[L, L/C_r, N/C_c]     key duals, same layout
+      rescale_inv: uint32[L/C_r, 1]
+      ctabs:       mxu_table_pytree sliced by mxu_table_specs
+    Collectives per step: 6 all_to_all over 'cp' (3 inverse + 3 forward
+    transforms, one each) + 2 all_gather over 'rp' (digit lifts,
+    dropped-limb row) — the same two 'rp' sites as the 1-axis step
+    (rlwe_she.jl:340-344, crt.jl:215-220).
+    """
+    mpl = S._mp_local(ctabs)
+    c1, c2 = c[:, 0], c[:, 1]
+    # --- homomorphic square (rlwe_she.jl:255-258), pointwise local ---
+    d1 = modmath.mul_mod(c1, c1, mpl)
+    mid = modmath.mul_mod(c1, c2, mpl)
+    d2 = modmath.add_mod(mid, mid, mpl)
+    d3 = modmath.mul_mod(c2, c2, mpl)
+
+    # --- relinearize d3 onto (d1, d2) ---
+    d3p = S.mxu2_intt_local(d3, ctabs, cp_axis)             # primal block
+    lifts = modmath.centered(d3p, mpl)                      # int32[B, Lloc, Nloc]
+    all_lifts = jax.lax.all_gather(lifts, rp_axis, axis=1, tiled=True)
+    digs = modmath.from_signed(all_lifts[..., :, None, :], mpl)
+    digs = S.mxu2_ntt_local(digs, ctabs, cp_axis)           # [B, L, Lloc, Nloc]
+    acc1 = modmath.mod_sum(modmath.mul_mod(digs, key_maskeds, mpl), mpl,
+                           axis=-3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(digs, key_masks, mpl), mpl,
+                           axis=-3)
+    r1 = modmath.add_mod(d1, acc1, mpl)
+    r2 = modmath.add_mod(d2, acc2, mpl)
+    out = jnp.stack([r1, r2], axis=1)                       # [B, 2, Lloc, Nloc]
+
+    # --- rescale by the global last limb (crt.jl:215-220) ---
+    outp = S.mxu2_intt_local(out, ctabs, cp_axis)
+    last_local = outp[..., -1:, :]
+    last_rows = jax.lax.all_gather(last_local, rp_axis, axis=2, tiled=True)
+    last = last_rows[..., -1:, :]                           # global last limb
+    last_mod = modmath.umod(last, mpl.p)
+    diff = modmath.sub_mod(outp, last_mod, mpl)
+    res = modmath.mont_mul(diff, rescale_inv, mpl)
+    idx = jax.lax.axis_index(rp_axis)
+    nsh = jax.lax.axis_size(rp_axis)
+    L_loc = mpl.p.shape[0]
+    limb_ids = idx * L_loc + jnp.arange(L_loc)
+    keep = (limb_ids < nsh * L_loc - 1)[:, None]
+    res = jnp.where(keep, res, 0)
+    return S.mxu2_ntt_local(res, ctabs, cp_axis)
+
+
+def make_2axis_step(mesh: Mesh, mxu_tables, key_masks, key_maskeds,
+                    n_cp: int, dp: bool = False):
+    """Build the jitted 2-axis ('rp' × 'cp') sharded
+    square→relin→rescale step.
+
+    ``mesh`` must carry ('rp', 'cp') axes; with ``dp=True`` it must also
+    carry a 'dp' axis and the ciphertext batch axis is sharded over it
+    (3-axis dp × rp × cp). key_masks/key_maskeds are host-side
+    uint32[L, L, N] duals in NATURAL dual order; this function re-lays
+    them into the four-step output layout. Returns (step_fn, place,
+    layout) where layout=(in_src, out_nat) maps natural
+    coefficient/dual order into the sharded layouts."""
+    mt = mxu_tables
+    ctabs = S.mxu_table_pytree(mt, n_cp)
+    tab_specs = S.mxu_table_specs()
+    in_src, out_nat = S.coeff_shard_layout(mt.n, mt.n2, n_cp)
+    km = jnp.asarray(np.asarray(key_masks)[..., out_nat])
+    kd = jnp.asarray(np.asarray(key_maskeds)[..., out_nat])
+    qk = mt.primes[-1]
+    rescale_inv = jnp.asarray(np.array(
+        [[pow(qk, -1, p) * (1 << 32) % p if p != qk else 0]
+         for p in mt.primes], dtype=np.uint64).astype(np.uint32))
+
+    data_spec = P("dp" if dp else None, None, "rp", "cp")
+    key_spec = P(None, "rp", "cp")
+    fn = shard_map(
+        _square_relin_rescale_2axis, mesh=mesh,
+        in_specs=(data_spec, key_spec, key_spec, P("rp", None), tab_specs),
+        out_specs=data_spec,
+        check_vma=False)
+    jfn = jax.jit(lambda c: fn(c, km, kd, rescale_inv, ctabs))
+
+    def place(x):
+        """Shard natural-dual-order cts [B, 2, L, N] onto the mesh."""
+        x = jnp.asarray(np.asarray(x)[..., out_nat])
+        return jax.device_put(x, NamedSharding(mesh, data_spec))
+
+    return jfn, place, (in_src, out_nat)
+
+
 def make_single_chip_step(tables, key_masks, key_maskeds):
     """Jitted single-chip square→relin→rescale step (entry-point /
     benchmark flavor of the sharded step)."""

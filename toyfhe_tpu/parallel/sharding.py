@@ -187,52 +187,134 @@ def coeff_shard_layout(n: int, n2: int, nshards: int):
     return in_src, out_nat
 
 
+def _ct_local_slices(ct_full: dict, nshards: int, axis_name: str):
+    """Slice the cp-dependent entries of a full :func:`mxu_table_pytree`
+    down to this shard's block (for single-'cp'-axis use where the
+    tables are closed-over constants rather than shard_map operands)."""
+    idx = jax.lax.axis_index(axis_name)
+    npb = ct_full["tw"].shape[-1] // nshards
+    k1pb = ct_full["twi"].shape[-2] // nshards
+    nloc = ct_full["psi"].shape[-1] // nshards
+    ct = dict(ct_full)
+    ct["psi"] = jax.lax.dynamic_slice_in_dim(ct_full["psi"], idx * nloc,
+                                             nloc, 1)
+    ct["ipsi"] = jax.lax.dynamic_slice_in_dim(ct_full["ipsi"], idx * nloc,
+                                              nloc, 1)
+    ct["tw"] = jax.lax.dynamic_slice_in_dim(ct_full["tw"], idx * npb, npb, 2)
+    ct["twi"] = jax.lax.dynamic_slice_in_dim(ct_full["twi"], idx * k1pb,
+                                             k1pb, 1)
+    return ct
+
+
 def coeff_sharded_ntt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
     """shard_map body for the forward negacyclic NTT with the coefficient
     axis sharded over ``axis_name`` (transpose-based four-step: both DFT
     stages local, ONE all_to_all between them).
 
-    The body takes ``x_local: uint32[L, N/C]`` in the layout described by
-    :func:`coeff_shard_layout` and returns the dual in the output layout.
-    The ψ-twist table is pre-permuted to the input layout so each shard
-    slices its contiguous block. (Inverse transform mirrors this with the
-    inverse tables and the layouts swapped — planned follow-up.)
-    """
-    from ..ops import modmath as MM
-    from ..ops import ntt_mxu as MX
-
-    mt = mxu_tables
-    n, n2, N1 = mt.n, mt.n2, MX.N1
-    npb = n2 // nshards
-    mp = mt.mp
-    mp3 = MX._mp3(mp)
-    w1 = jnp.asarray(mt.w1)
-    w2 = jnp.asarray(mt.w2)
-    tw = jnp.asarray(mt.tw)
-    in_src, _ = coeff_shard_layout(n, n2, nshards)
-    psi_layout = jnp.asarray(np.asarray(mt.psi_pow)[:, in_src])  # (L, N) permuted
+    The body takes ``x_local: uint32[..., L, N/C]`` in the layout
+    described by :func:`coeff_shard_layout` and returns the dual in the
+    output layout. Tables are closed-over constants; the per-shard blocks
+    are dynamic-sliced by shard index (see :func:`mxu2_ntt_local` for the
+    tables-as-operands flavor used by the 2-axis keyswitch)."""
+    ct_full = mxu_table_pytree(mxu_tables, nshards)
 
     def body(x_local):
-        idx = jax.lax.axis_index(axis_name)
-        nloc = x_local.shape[-1]
-        psi_loc = jax.lax.dynamic_slice_in_dim(psi_layout, idx * nloc, nloc, 1)
-        x_local = MM.mont_mul(x_local, psi_loc, mp)
-        xm = x_local.reshape(x_local.shape[:-1] + (N1, npb))
-        # stage 1 (local): A[k1, j2loc] = Σ_j1 W1[j1, k1]·X[j1, j2loc]
-        a = MX._mod_matmul(mt, MX._balanced_digits_device(xm), w1, mp3)
-        # twiddle ω^{k1·j2} for my j2 block
-        twl = jax.lax.dynamic_slice_in_dim(tw, idx * npb, npb, 2)
-        b = MM.mont_mul(a, twl, mp3)
-        # ONE all_to_all: j2-sharded -> k1-sharded (split N1, concat j2)
-        bt = jax.lax.all_to_all(b, axis_name, split_axis=b.ndim - 2,
-                                concat_axis=b.ndim - 1, tiled=True)
-        # bt: (L, N1/C, n2) with full j2
-        btt = jnp.swapaxes(bt, -1, -2)                 # (L, j2, k1loc)
-        c = MX._mod_matmul(mt, MX._balanced_digits_device(btt), w2, mp3)
-        # c: (L, k2, k1loc) -> flatten to the output layout
-        return c.reshape(c.shape[:-2] + (n2 * (N1 // nshards),))
+        return mxu2_ntt_local(x_local,
+                              _ct_local_slices(ct_full, nshards, axis_name),
+                              axis_name)
 
     return body
+
+
+def mxu_table_pytree(mxu_tables, nshards: int) -> dict:
+    """Four-step NTT constants as a pytree shardable over BOTH the limb
+    axis ('rp') and the coefficient axis ('cp') — the table side of the
+    2-axis sharded transform. ψ tables are pre-permuted into the
+    :func:`coeff_shard_layout` input layout so a plain 'cp' partition
+    hands each shard its contiguous block."""
+    mt = mxu_tables
+    in_src, _ = coeff_shard_layout(mt.n, mt.n2, nshards)
+    mp = mt.mp
+    return {
+        "p": jnp.asarray(mp.p), "ninv": jnp.asarray(mp.ninv),
+        "r2": jnp.asarray(mp.r2), "r1": jnp.asarray(mp.r1),
+        "half": jnp.asarray(mp.half),
+        "cs": jnp.asarray(mt.cs), "corr": jnp.asarray(mt.corr),
+        "r1m": jnp.asarray(mt.r1_mont), "him": jnp.asarray(mt.hi_mont),
+        "w1": jnp.asarray(mt.w1), "w1i": jnp.asarray(mt.w1i),
+        "w2": jnp.asarray(mt.w2), "w2i": jnp.asarray(mt.w2i),
+        "tw": jnp.asarray(mt.tw), "twi": jnp.asarray(mt.twi),
+        "psi": jnp.asarray(np.asarray(mt.psi_pow)[:, in_src]),
+        "ipsi": jnp.asarray(np.asarray(mt.psi_ipow)[:, in_src]),
+    }
+
+
+def mxu_table_specs() -> dict:
+    """PartitionSpecs for :func:`mxu_table_pytree`: limb axis → 'rp';
+    the j2-indexed tables (tw, ψ) → 'cp'; twi is k1-indexed → 'cp' on
+    its k1 axis."""
+    return {
+        "p": P("rp", None), "ninv": P("rp", None),
+        "r2": P("rp", None), "r1": P("rp", None), "half": P("rp", None),
+        "cs": P(None, "rp", None, None), "corr": P("rp", None, None),
+        "r1m": P("rp", None, None), "him": P("rp", None, None),
+        "w1": P("rp", None, None, None), "w1i": P("rp", None, None, None),
+        "w2": P("rp", None, None, None), "w2i": P("rp", None, None, None),
+        "tw": P("rp", None, "cp"), "twi": P("rp", "cp", None),
+        "psi": P("rp", "cp"), "ipsi": P("rp", "cp"),
+    }
+
+
+def _mp_local(ct) -> modmath.MontParams:
+    return modmath.MontParams(p=ct["p"], ninv=ct["ninv"], r2=ct["r2"],
+                              r1=ct["r1"], half=ct["half"])
+
+
+def mxu2_ntt_local(x, ct: dict, axis_name: str = "cp"):
+    """Forward four-step negacyclic NTT with ALL tables already local
+    (shard_map body helper): x uint32[..., Lloc, Nloc] primal in the
+    input layout → dual in the output layout. ONE all_to_all over
+    ``axis_name``."""
+    from ..ops import ntt_mxu as MX
+
+    mpl = _mp_local(ct)
+    mp3 = MX._mp3(mpl)
+    x = modmath.mont_mul(x, ct["psi"], mpl)
+    lead = x.shape[:-1]
+    npb = ct["tw"].shape[-1]
+    xm = x.reshape(lead + (MX.N1, npb))
+    a = MX._mod_matmul_c(MX._balanced_digits_device(xm), ct["w1"],
+                         ct["cs"], ct["r1m"], ct["him"], ct["corr"], mp3)
+    b = modmath.mont_mul(a, ct["tw"], mp3)
+    bt = jax.lax.all_to_all(b, axis_name, split_axis=b.ndim - 2,
+                            concat_axis=b.ndim - 1, tiled=True)
+    btt = jnp.swapaxes(bt, -1, -2)
+    c = MX._mod_matmul_c(MX._balanced_digits_device(btt), ct["w2"],
+                         ct["cs"], ct["r1m"], ct["him"], ct["corr"], mp3)
+    return c.reshape(c.shape[:-2] + (c.shape[-2] * c.shape[-1],))
+
+
+def mxu2_intt_local(y, ct: dict, axis_name: str = "cp"):
+    """Inverse of :func:`mxu2_ntt_local` (output layout → input layout),
+    again ONE all_to_all."""
+    from ..ops import ntt_mxu as MX
+
+    mpl = _mp_local(ct)
+    mp3 = MX._mp3(mpl)
+    lead = y.shape[:-1]
+    n2 = ct["w2"].shape[-1]
+    k1pb = y.shape[-1] // n2
+    ym = y.reshape(lead + (n2, k1pb))
+    d = MX._mod_matmul_c(MX._balanced_digits_device(ym), ct["w2i"],
+                         ct["cs"], ct["r1m"], ct["him"], ct["corr"], mp3)
+    d = modmath.mont_mul(d, jnp.swapaxes(ct["twi"], -1, -2), mp3)
+    e = jax.lax.all_to_all(d, axis_name, split_axis=d.ndim - 2,
+                           concat_axis=d.ndim - 1, tiled=True)
+    et = jnp.swapaxes(e, -1, -2)
+    x = MX._mod_matmul_c(MX._balanced_digits_device(et), ct["w1i"],
+                         ct["cs"], ct["r1m"], ct["him"], ct["corr"], mp3)
+    out = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+    return modmath.mont_mul(out, ct["ipsi"], mpl)
 
 
 def coeff_sharded_galois_plan(n: int, n2: int, nshards: int,
@@ -344,41 +426,11 @@ def coeff_sharded_intt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
     j1-major) — the exact mirror of :func:`coeff_sharded_ntt_fn`, again
     with ONE all_to_all between two local modular-matmul stages.
     """
-    from ..ops import modmath as MM
-    from ..ops import ntt_mxu as MX
-
-    mt = mxu_tables
-    n, n2, N1 = mt.n, mt.n2, MX.N1
-    npb = n2 // nshards
-    k1pb = N1 // nshards
-    mp = mt.mp
-    mp3 = MX._mp3(mp)
-    w1i = jnp.asarray(mt.w1i)
-    w2i = jnp.asarray(mt.w2i)
-    twi = jnp.asarray(mt.twi)
-    in_src, _ = coeff_shard_layout(n, n2, nshards)
-    ipsi_layout = jnp.asarray(np.asarray(mt.psi_ipow)[:, in_src])
+    ct_full = mxu_table_pytree(mxu_tables, nshards)
 
     def body(y_local):
-        idx = jax.lax.axis_index(axis_name)
-        nloc = y_local.shape[-1]
-        # out layout: (k2-major, k1loc) for my k1 block
-        ym = y_local.reshape(y_local.shape[:-1] + (n2, k1pb))
-        # stage 1 (local): D[j2, k1loc] = Σ_{k2} W2⁻¹[k2, j2]·Y[k2, k1loc]
-        d = MX._mod_matmul(mt, MX._balanced_digits_device(ym), w2i, mp3)
-        # inverse twiddle ω^{-k1·j2} for my k1 block: (L, j2, k1loc)
-        twl = jax.lax.dynamic_slice_in_dim(twi, idx * k1pb, k1pb, 1)
-        d = MM.mont_mul(d, jnp.swapaxes(twl, -1, -2), mp3)
-        # ONE all_to_all: k1-sharded -> j2-sharded (split j2, concat k1)
-        e = jax.lax.all_to_all(d, axis_name, split_axis=d.ndim - 2,
-                               concat_axis=d.ndim - 1, tiled=True)
-        # e: (L, n2/C, N1) = [j2loc, k1] with full k1
-        et = jnp.swapaxes(e, -1, -2)                  # (L, k1, j2loc)
-        # stage 2 (local): X[j1, j2loc] = Σ_{k1} W1⁻¹[k1, j1]·E[k1, j2loc]
-        x = MX._mod_matmul(mt, MX._balanced_digits_device(et), w1i, mp3)
-        out = x.reshape(x.shape[:-2] + (N1 * npb,))
-        ipsi_loc = jax.lax.dynamic_slice_in_dim(ipsi_layout, idx * nloc,
-                                                nloc, 1)
-        return MM.mont_mul(out, ipsi_loc, mp)
+        return mxu2_intt_local(y_local,
+                               _ct_local_slices(ct_full, nshards, axis_name),
+                               axis_name)
 
     return body
