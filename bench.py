@@ -53,29 +53,29 @@ def _watchdog_smoke(timeout_s=240.0):
     return result.get("backend") if not th.is_alive() else None
 
 
-def _slope_time(build_chain, args, k_small=2, k_big=18, reps=5,
+def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
                 max_tries=3):
-    """Median per-op seconds via chained-jit slope.
+    """Min-estimator chained-jit slope.
 
-    A noisy run can produce a non-positive slope (big chain no slower
-    than small — seen on the tunnel when transfer variance swamps a
-    short chain); retry with a longer chain instead of reporting a
-    floor value that reads as absurd throughput."""
+    Tunnel noise is strictly additive (queueing, link stalls, tenant
+    contention), so the minimum over interleaved reps estimates true
+    execution time; the slope between the min times of a long and a
+    short chain removes dispatch/transfer constants. A noisy run can
+    still produce a non-positive slope; retry with a longer chain
+    instead of reporting a floor value that reads as absurd throughput."""
     for attempt in range(max_tries):
         f_small, f_big = build_chain(k_small), build_chain(k_big)
         np.asarray(f_small(*args))
         np.asarray(f_big(*args))
-        slopes = []
-        for _ in range(reps):
-            # pair the two chains back-to-back so slow drift of the
-            # tunnel's round-trip latency cancels within each pair
-            t0 = time.perf_counter()
-            np.asarray(f_small(*args))
-            t1 = time.perf_counter()
-            np.asarray(f_big(*args))
-            t2 = time.perf_counter()
-            slopes.append(((t2 - t1) - (t1 - t0)) / (k_big - k_small))
-        slope = float(np.median(slopes))
+        ts, tb = [], []
+        for r in range(reps):
+            pair = (((f_small, ts), (f_big, tb)) if r % 2 == 0
+                    else ((f_big, tb), (f_small, ts)))
+            for f, acc in pair:
+                t0 = time.perf_counter()
+                np.asarray(f(*args))
+                acc.append(time.perf_counter() - t0)
+        slope = (min(tb) - min(ts)) / (k_big - k_small)
         if slope > 0:
             return slope
         k_big = k_small + 2 * (k_big - k_small)
@@ -129,7 +129,9 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
 
     def chain(K):
         import jax.numpy as jnp
+        from toyfhe_tpu.ops.ntt import _mxu_tables
         tabs = pops.full_table_pytree(ring.tables)
+        mt = _mxu_tables(ring.tables)
         qk = ring.primes[-1]
         rescale_inv = np.array(
             [[pow(qk, -1, p) * (1 << 32) % p if p != qk else 0]
@@ -140,7 +142,7 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
         def f(c):
             for _ in range(K):
                 out = pops._square_relin_rescale_local(
-                    c, km, kd, jnp.asarray(rescale_inv), tabs)
+                    c, km, kd, jnp.asarray(rescale_inv), tabs, mt=mt)
                 # re-embed to keep a data-dependent fixed-shape chain
                 c = c.at[:, :, : L - 1, :].set(out[:, :, : L - 1, :])
             return c

@@ -67,3 +67,42 @@ def test_mxu_pallas_kernel(rings):
     ref = np.asarray(nttmod.ntt(t, jnp.asarray(a.transpose(1, 0, 2)))
                      ).transpose(1, 0, 2)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_mxu_pallas_paired_modes(rings):
+    """Both recombination modes of the MXU Pallas kernel are bit-exact,
+    and the paired-diagonal int32 bound holds for the test ring."""
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    from toyfhe_tpu.ops import ntt_mxu_pallas as mxp
+    t, pt, a, _ = rings
+    mt = mxu.MxuNttTables(t)
+    assert mt.paired_ok
+    xm = jnp.asarray(a).reshape(len(t.primes), a.shape[1], mxp.N1, mt.n2)
+    psis = jnp.asarray(np.asarray(mt.psi_pow).reshape(
+        len(t.primes), mxp.N1, mt.n2))
+    unp = np.asarray(mxp.ntt_mxu_pallas(mt, xm, psis, True, False))
+    par = np.asarray(mxp.ntt_mxu_pallas(mt, xm, psis, True, True))
+    np.testing.assert_array_equal(par, unp)
+
+
+def test_mxu_nat_roundtrip(rings):
+    """Natural-order [..., L, N] MXU kernels (production default on TPU):
+    forward matches radix-2 bit-exactly, inverse inverts."""
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    from toyfhe_tpu.ops import ntt_mxu_pallas as mxp
+    t, pt, a, _ = rings
+    mt = mxu.MxuNttTables(t)
+    x = jnp.asarray(a.transpose(1, 0, 2))          # [R, L, N]
+    fwd = np.asarray(mxp.ntt_mxu_nat(mt, x, True))
+    np.testing.assert_array_equal(fwd, np.asarray(nttmod.ntt(t, x)))
+    back = np.asarray(mxp.intt_mxu_nat(mt, jnp.asarray(fwd), True))
+    np.testing.assert_array_equal(back, np.asarray(x))
+    # 2-D (no lead dims) and 4-D leads
+    x2 = x[0]
+    np.testing.assert_array_equal(
+        np.asarray(mxp.ntt_mxu_nat(mt, x2, True)),
+        np.asarray(nttmod.ntt(t, x2)))
+    x4 = x.reshape((2, 4) + x.shape[1:])
+    np.testing.assert_array_equal(
+        np.asarray(mxp.intt_mxu_nat(mt, x4, True)),
+        np.asarray(nttmod.intt(t, x4)))

@@ -17,20 +17,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def slope(make, args, k1=2, k2=14, reps=3):
+def slope(make, args, k1=2, k2=14, reps=9):
+    """Min-estimator chained-jit slope: tunnel noise is strictly
+    additive (queueing, link stalls), so the minimum over interleaved
+    reps estimates true execution time; the slope of the min times
+    removes dispatch/transfer constants."""
     f1, f2 = make(k1), make(k2)
     np.asarray(f1(*args))
     np.asarray(f2(*args))
-
-    def meas(f):
-        ts = []
-        for _ in range(reps):
+    t1s, t2s = [], []
+    for r in range(reps):
+        order = ((f1, t1s), (f2, t2s)) if r % 2 == 0 else ((f2, t2s), (f1, t1s))
+        for f, acc in order:
             t0 = time.perf_counter()
             np.asarray(f(*args))
-            ts.append(time.perf_counter() - t0)
-        return np.median(ts)
-
-    return (meas(f2) - meas(f1)) / (k2 - k1)
+            acc.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (k2 - k1)
 
 
 def main():
@@ -71,17 +73,22 @@ def main():
     print(f"radix-2 XLA      : {tr*1e3:8.3f} ms/batch  {R*L/tr:10.0f} tf/s",
           flush=True)
 
-    def mk_mxp(K):
-        @jax.jit
-        def f(v):
-            for _ in range(K):
-                v = mxp.ntt_mxu_pallas(mt, v, psis)
-            return v
-        return f
+    def mk_mxp(paired):
+        def mk(K):
+            @jax.jit
+            def f(v):
+                for _ in range(K):
+                    v = mxp.ntt_mxu_pallas(mt, v, psis, False, paired)
+                return v
+            return f
+        return mk
 
-    tm = slope(mk_mxp, (xr,))
-    print(f"MXU-Pallas 4step : {tm*1e3:8.3f} ms/batch  {R*L/tm:10.0f} tf/s  "
-          f"(x{tr/tm:.2f} vs radix-2)", flush=True)
+    tm0 = slope(mk_mxp(False), (xr,))
+    print(f"MXU-Pallas 7grp  : {tm0*1e3:8.3f} ms/batch  {R*L/tm0:10.0f} tf/s  "
+          f"(x{tr/tm0:.2f} vs radix-2)", flush=True)
+    tm = slope(mk_mxp(True), (xr,))
+    print(f"MXU-Pallas paired: {tm*1e3:8.3f} ms/batch  {R*L/tm:10.0f} tf/s  "
+          f"(x{tr/tm:.2f} vs radix-2, x{tm0/tm:.2f} vs 7grp)", flush=True)
 
     def mk_pm_xla(K):
         @jax.jit

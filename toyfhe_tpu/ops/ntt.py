@@ -187,12 +187,51 @@ def _dft_stages(tables: NttTables, x, tw_list):
     return x
 
 
+def _mxu_tables(tables: NttTables):
+    """TPU production path selector: the MXU four-step Pallas kernel with
+    paired-diagonal recombination measures 3-5× the radix-2 XLA schedule
+    at N=2^14 (tools/bench_kernels.py, docs/performance.md), so it is the
+    default on TPU whenever the ring supports it. Returns the cached
+    MxuNttTables or None (non-TPU backend, unsupported ring, or the
+    TOYFHE_NTT_IMPL=radix2 escape hatch)."""
+    import os
+
+    impl = os.environ.get("TOYFHE_NTT_IMPL", "auto")
+    if impl == "radix2":
+        return None
+    if getattr(tables, "_mxu_cache", "unset") == "unset":
+        mt = None
+        if (tables.n % 128 == 0 and tables.n >= 256
+                and max(tables.primes) < (1 << 30)):
+            try:
+                from . import ntt_mxu as _mxu
+                from . import ntt_mxu_pallas as _mxp
+                if _mxp.pl is not None:
+                    cand = _mxu.MxuNttTables(tables)
+                    if cand.paired_ok:
+                        mt = cand
+            except Exception:      # pragma: no cover - missing pallas
+                mt = None
+        tables._mxu_cache = mt
+    if tables._mxu_cache is None:
+        return None
+    if impl != "mxu" and jax.default_backend() != "tpu":
+        return None
+    return tables._mxu_cache
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def ntt(tables: NttTables, x):
     """Forward negacyclic NTT of uint32[..., L, N] (reference ``nntt``).
 
     Jitted per (tables, shape): eager call sites pay one dispatch instead
-    of ~log2(N) op-by-op dispatches."""
+    of ~log2(N) op-by-op dispatches. On TPU, rings with N ≥ 256 divisible
+    by 128 and primes < 2^30 run the MXU four-step Pallas kernel
+    (bit-exact; see :func:`_mxu_tables`)."""
+    mt = _mxu_tables(tables)
+    if mt is not None:
+        from . import ntt_mxu_pallas as _mxp
+        return _mxp.ntt_mxu_nat(mt, x)
     mp = tables.mp
     x = modmath.mont_mul(x, jnp.asarray(tables.psi_pow), mp)
     return _dft_stages(tables, x, tables.stage_tw)
@@ -201,6 +240,10 @@ def ntt(tables: NttTables, x):
 @functools.partial(jax.jit, static_argnums=0)
 def intt(tables: NttTables, x):
     """Inverse negacyclic NTT (reference ``inntt``)."""
+    mt = _mxu_tables(tables)
+    if mt is not None:
+        from . import ntt_mxu_pallas as _mxp
+        return _mxp.intt_mxu_nat(mt, x)
     mp = tables.mp
     x = _dft_stages(tables, x, tables.stage_tw_inv)
     return modmath.mont_mul(x, jnp.asarray(tables.psi_ipow), mp)

@@ -116,6 +116,34 @@ class MxuNttTables:
         self.cs, self.corr = cs, corr
         self.r1_mont, self.hi_mont = r1m, him
 
+        # paired-diagonal recombination constants: weights 2^{16t} for the
+        # folded groups G'ₜ = G₂ₜ + 256·G₂ₜ₊₁ (t=0,1 are exact shifts;
+        # t=2,3 need reduced constants), plus the 2^31-offset correction.
+        cs32 = np.zeros((L, 1, 1), dtype=np.uint32)
+        cs48 = np.zeros((L, 1, 1), dtype=np.uint32)
+        corr2 = np.zeros((L, 1, 1), dtype=np.uint32)
+        for l, p in enumerate(tables.primes):
+            c32, c48 = pow(2, 32, p), pow(2, 48, p)
+            cs32[l], cs48[l] = c32, c48
+            corr2[l] = ((1 << 31) % p) * (1 + (1 << 16) + c32 + c48) % p
+        self.cs32, self.cs48, self.corr2 = cs32, cs48, corr2
+        self.paired_ok = all(
+            self._paired_bound(w) < (1 << 31)
+            for w in (self.w1, self.w1i, self.w2, self.w2i))
+
+    @staticmethod
+    def _paired_bound(w: np.ndarray) -> int:
+        """Max possible |G'ₜ| = |G₂ₜ + 256·G₂ₜ₊₁| over the folded
+        diagonal groups for digit matrix w: int8[L, 4, K, J] against
+        worst-case x digits (|x| ≤ 128)."""
+        colsum = np.abs(w.astype(np.int64)).sum(axis=2)      # (L, 4, J)
+        smax = []
+        for s in range(2 * _NDIG - 1):
+            tot = sum(colsum[:, d] for d in range(_NDIG)
+                      if 0 <= s - d < _NDIG)
+            smax.append(int(tot.max()) * 128)
+        return max(smax[2 * t] + 256 * smax[2 * t + 1] for t in range(3))
+
     def __hash__(self):
         return id(self)
 

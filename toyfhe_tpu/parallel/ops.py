@@ -60,7 +60,7 @@ def full_table_specs() -> dict:
 
 
 def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
-                                tabs, axis_name=None, lazy=False):
+                                tabs, axis_name=None, lazy=False, mt=None):
     """Square → relinearize → rescale on ciphertext duals.
 
     With ``axis_name`` set this is a shard_map body over the 'rp' limb
@@ -73,7 +73,18 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
       tabs:         NTT table pytree sliced to the local limbs
     Returns uint32[B, 2, L_loc, N] rescaled ciphertext duals with the
     dropped limb zeroed.
+
+    ``mt`` (single-chip only): MxuNttTables — run the transforms through
+    the MXU four-step Pallas kernel instead of the radix-2 schedule
+    (3-5× on TPU, bit-exact; see ops/ntt.py::_mxu_tables).
     """
+    if mt is not None:
+        from ..ops import ntt_mxu_pallas as _mxp
+        fwd = lambda v: _mxp.ntt_mxu_nat(mt, v)
+        inv = lambda v: _mxp.intt_mxu_nat(mt, v)
+    else:
+        fwd = lambda v: S.ntt_p(v, tabs, lazy)
+        inv = lambda v: S.intt_p(v, tabs, lazy)
     mp = _mp_full(tabs)
     c1, c2 = c[:, 0], c[:, 1]
     # --- homomorphic square: tensor product (rlwe_she.jl:255-258) ---
@@ -84,7 +95,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
 
     # --- relinearize d3 back onto (d1, d2) ---
     # primal of d3, centered lift of local limbs, share with all shards
-    d3p = S.intt_p(d3, tabs, lazy)
+    d3p = inv(d3)
     lifts = modmath.centered(d3p, mp)                       # int32[B, L_loc, N]
     if axis_name is not None:
         all_lifts = jax.lax.all_gather(lifts, axis_name, axis=1, tiled=True)
@@ -92,7 +103,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
         all_lifts = lifts
     # digits for local limbs: [B, L, L_loc, N]
     digs = modmath.from_signed(all_lifts[..., :, None, :], mp)
-    digs = S.ntt_p(digs, tabs, lazy)
+    digs = fwd(digs)
     acc1 = modmath.mod_sum(_mulmod_t(digs, key_maskeds, tabs), mp, axis=-3)
     acc2 = modmath.mod_sum(_mulmod_t(digs, key_masks, tabs), mp, axis=-3)
     r1 = modmath.add_mod(d1, acc1, mp)
@@ -100,7 +111,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
     out = jnp.stack([r1, r2], axis=1)                       # [B, 2, L_loc, N]
 
     # --- rescale by the last limb (crt.jl:215-220), static shapes ---
-    outp = S.intt_p(out, tabs, lazy)
+    outp = inv(out)
     last_local = outp[..., -1:, :]                          # [B, 2, 1, N]
     if axis_name is not None:
         idx = jax.lax.axis_index(axis_name)
@@ -118,7 +129,7 @@ def _square_relin_rescale_local(c, key_masks, key_maskeds, rescale_inv,
     L_glob = nsh * mp.p.shape[0]
     keep = (limb_ids < L_glob - 1)[:, None]
     res = jnp.where(keep, res, 0)
-    return S.ntt_p(res, tabs, lazy)
+    return fwd(res)
 
 
 def _square_relin_rescale_2axis(c, key_masks, key_maskeds, rescale_inv,
@@ -228,10 +239,12 @@ def make_single_chip_step(tables, key_masks, key_maskeds):
     km = jnp.asarray(key_masks)
     kd = jnp.asarray(key_maskeds)
     lazy = tables.lazy_ok
+    from ..ops.ntt import _mxu_tables
+    mt = _mxu_tables(tables)          # MXU Pallas transforms on TPU
 
     def step(c):
         return _square_relin_rescale_local(c, km, kd, jnp.asarray(rescale_inv),
-                                           tabs, lazy=lazy)
+                                           tabs, lazy=lazy, mt=mt)
 
     return jax.jit(step)
 
