@@ -44,10 +44,12 @@ def zmstar_indices(n: int) -> tuple:
     return r1, r2
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class CKKSTag:
     """Decode tag carried on CKKS ciphertexts: tracks the scale exactly
-    (FixedRational type-level algebra, ckks.jl:85-92)."""
+    (FixedRational type-level algebra, ckks.jl:85-92). Frozen/hashable —
+    it rides as static pytree metadata when ciphertexts cross a jit
+    boundary."""
 
     scale: Fraction
 

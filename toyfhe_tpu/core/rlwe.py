@@ -229,6 +229,64 @@ class CipherText:
 
 
 # ---------------------------------------------------------------------------
+# pytree registration — the whole eager API is jax.jit-compilable
+# ---------------------------------------------------------------------------
+#
+# Ciphertexts and keys flatten to their ring-element arrays with the
+# static metadata (params / ring / tags — all identity- or value-hashed)
+# as aux data, so user pipelines written against the public API compose
+# under jit/vmap/shard_map:
+#
+#     step = jax.jit(lambda ek, c: ct_rescale(keyswitch(ek, ct_mul(c, c))))
+#
+# This is the serving-speed front-end the reference (op-by-op Julia)
+# has no analogue of; bit-exactness vs eager is tests/test_jit_api.py.
+
+def _register(cls, fields, aux_fields):
+    def flatten(obj):
+        return (tuple(getattr(obj, f) for f in fields),
+                tuple(getattr(obj, f) for f in aux_fields))
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(aux_fields, aux)), **dict(zip(fields, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+def _register_list(cls, list_field, aux_fields):
+    def flatten(obj):
+        return (tuple(getattr(obj, list_field)),
+                tuple(getattr(obj, f) for f in aux_fields))
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(aux_fields, aux)),
+                   **{list_field: list(children)})
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+_register(PrivKey, ("secret",), ("params",))
+_register(KeyComponent, ("mask", "masked"), ())
+_register(PubKey, ("key",), ("params",))
+_register_list(KeySwitchKey, "key", ("params", "ring"))
+_register(EvalMultKey, ("key",), ())
+_register(GaloisKey, ("key",), ("galois_element",))
+_register_list(GaloisKeys, "keys", ())
+_register(KeyPair, ("priv", "pub"), ())
+
+
+def _ct_flatten(c: CipherText):
+    return c.cs, (c.params, c.ring, c.enc)
+
+
+def _ct_unflatten(aux, cs):
+    return CipherText(aux[0], tuple(cs), aux[1], enc=aux[2])
+
+
+jax.tree_util.register_pytree_node(CipherText, _ct_flatten, _ct_unflatten)
+
+
+# ---------------------------------------------------------------------------
 # Key generation (rlwe_she.jl:155-170)
 # ---------------------------------------------------------------------------
 

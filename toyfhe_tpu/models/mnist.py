@@ -288,11 +288,11 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
 # jitted (serving-path) encrypted inference — same math, compiled layers
 # ---------------------------------------------------------------------------
 
-def encrypted_inference_fast(setup: FHESetup, model_params, batch: np.ndarray,
-                             rng):
-    """Encrypted forward pass using the compiled layers in
-    parallel/layers.py (bit-exact vs the eager pipeline per layer).
-    Returns the decrypted logits matrix [classes, B]."""
+def build_inference_pipeline(setup: FHESetup, model_params):
+    """Build the compiled serving pipeline ONCE (layer jits, weight/diag
+    encodings) and return ``run(batch, rng) -> logits``. Re-calling
+    ``run`` reuses every compiled program — the warm path is the serving
+    rate; the first call pays the Mosaic/XLA compiles."""
     from fractions import Fraction as Fr
 
     from ..core import ring as ringops
@@ -304,13 +304,7 @@ def encrypted_inference_fast(setup: FHESetup, model_params, batch: np.ndarray,
     n = ring0.n
     s0 = setup.scale
 
-    # ---- encode + batched encrypt (one jit) ----
-    I = public_preprocess(cfg, batch)
-    pts = np.stack([
-        np.asarray(F.ckks_encode(ring0, I[i, j].astype(complex), s0).primal)
-        for i in range(cfg.kernel) for j in range(cfg.kernel)], 0)
     enc = JL.BatchEncryptor(params, setup.kp.pub, sigma=3.2)
-    cts = enc(jnp.asarray(pts), rng)                  # (G, 2, L0, N) dual
 
     # ---- conv + bias + rescale (one jit) ----
     w = np.asarray(model_params["conv_w"])
@@ -328,13 +322,11 @@ def encrypted_inference_fast(setup: FHESetup, model_params, batch: np.ndarray,
             ring0, np.full(n // 2, float(bconv[c]), dtype=complex), s_conv)).dual
         for c in range(cfg.channels)], 0)
     conv = JL.ConvLayer(params, ring0, cfg.channels)
-    conv_out = conv(cts, jnp.asarray(wq), bias_dual)  # (C, 2, L1, N) primal
     ring1 = ring0.drop_last()
     s1 = s_conv / ring0.primes[-1]
 
     # ---- square 1 ----
     sq1 = JL.SquareRelinLayer(params, setup.ek, ring1)
-    o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])      # (C, L2, N) primal
     ring2 = ring1.drop_last()
     s2 = s1 * s1 / ring1.primes[-1]
 
@@ -346,29 +338,24 @@ def encrypted_inference_fast(setup: FHESetup, model_params, batch: np.ndarray,
     from ..ops import modmath as MM
     from ..parallel.ops import _mp_full
     mp2 = _mp_full(mat1.ka.tabs_ct)
-    fq1_1 = fq1_2 = None
+    diags1 = []
     for ci in range(cfg.channels):
         blk = w1[:, ci * d:(ci + 1) * d]
-        diag = jnp.stack([
+        diags1.append(jnp.stack([
             ringops.ensure_dual(ring2, F.ckks_encode(
                 ring2, _rep_inner(np.diag(np.roll(blk, k, axis=1)),
                                   cfg.batch).astype(complex), s2)).dual
-            for k in range(d)], 0)
-        r1, r2 = mat1(o1[ci], o2[ci], diag)           # dual at s2²
-        fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
-        fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
+            for k in range(d)], 0))
     s_fq1 = s2 * s2
     b1_dual = ringops.ensure_dual(ring2, F.ckks_encode(
         ring2, _rep_inner(np.asarray(model_params["b1"]), cfg.batch)
         .astype(complex), s_fq1)).dual
     br = JL.BiasRescaleLayer(ring2)
-    f1p, f2p = br(fq1_1, fq1_2, b1_dual)              # primal (L3, N)
     ring3 = ring2.drop_last()
     s3 = s_fq1 / ring2.primes[-1]
 
     # ---- square 2 ----
     sq2 = JL.SquareRelinLayer(params, setup.ek, ring3)
-    g1, g2 = sq2(f1p, f2p)                            # (L4, N) primal
     ring4 = ring3.drop_last()
     s4 = s3 * s3 / ring3.primes[-1]
 
@@ -382,17 +369,50 @@ def encrypted_inference_fast(setup: FHESetup, model_params, batch: np.ndarray,
             ring4, _rep_inner(np.diag(np.roll(wpad, k, axis=1)),
                               cfg.batch).astype(complex), s4)).dual
         for k in range(d)], 0)
-    r1, r2 = mat2(g1, g2, diag2)                      # dual at s4²
     s5 = s4 * s4
     b2pad = np.concatenate([np.asarray(model_params["b2"]),
                             np.zeros(d - cfg.classes)])
     b2_dual = ringops.ensure_dual(ring4, F.ckks_encode(
         ring4, _rep_inner(b2pad, cfg.batch).astype(complex), s5)).dual
     mp4 = _mp_full(mat2.ka.tabs_ct)
-    r1 = MM.add_mod(r1, b2_dual, mp4)
 
-    out = F.CipherText(params, (F.RingElt(dual=r1), F.RingElt(dual=r2)),
-                       ring4, enc=F.CKKSTag(Fr(s5)))
-    dec = F.decrypt(setup.kp, out).real
-    mat = dec.reshape(cfg.positions, cfg.batch)
-    return mat[:cfg.classes, :]
+    def run(batch: np.ndarray, rng):
+        # ---- per-request: encode inputs + batched encrypt (one jit) ----
+        I = public_preprocess(cfg, batch)
+        pts = np.stack([
+            np.asarray(F.ckks_encode(ring0, I[i, j].astype(complex),
+                                     s0).primal)
+            for i in range(cfg.kernel) for j in range(cfg.kernel)], 0)
+        cts = enc(jnp.asarray(pts), rng)              # (G, 2, L0, N) dual
+        conv_out = conv(cts, jnp.asarray(wq), bias_dual)
+        o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # (C, L2, N) primal
+        fq1_1 = fq1_2 = None
+        for ci in range(cfg.channels):
+            r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
+            fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
+            fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
+        f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # primal (L3, N)
+        g1, g2 = sq2(f1p, f2p)                        # (L4, N) primal
+        r1, r2 = mat2(g1, g2, diag2)                  # dual at s4²
+        r1 = MM.add_mod(r1, b2_dual, mp4)
+        out = F.CipherText(params, (F.RingElt(dual=r1), F.RingElt(dual=r2)),
+                           ring4, enc=F.CKKSTag(Fr(s5)))
+        dec = F.decrypt(setup.kp, out).real
+        mat = dec.reshape(cfg.positions, cfg.batch)
+        return mat[:cfg.classes, :]
+
+    return run
+
+
+def encrypted_inference_fast(setup: FHESetup, model_params,
+                             batch: np.ndarray, rng):
+    """Encrypted forward pass using the compiled layers in
+    parallel/layers.py (bit-exact vs the eager pipeline per layer).
+    Returns the decrypted logits matrix [classes, B]. The built pipeline
+    is cached on ``setup`` so repeat calls serve at warm rate."""
+    pipe = getattr(setup, "_pipeline", None)
+    if pipe is None or getattr(setup, "_pipeline_params", None) is not model_params:
+        pipe = build_inference_pipeline(setup, model_params)
+        setup._pipeline = pipe
+        setup._pipeline_params = model_params
+    return pipe(batch, rng)

@@ -31,11 +31,28 @@ from ..core import ring as R
 from ..core.ring import RingContext
 from . import sharding as S
 from .ops import full_table_pytree, _mp_full
+from ..ops.ntt import _mxu_tables
 
 
 def _mont_col(vals, ps) -> np.ndarray:
     return np.array([[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
                     dtype=np.uint64).astype(np.uint32)
+
+
+def _ntt_t(x, tabs, lazy, mt=None):
+    """Forward transform: MXU Pallas kernel when available (TPU), else
+    the radix-2 table path (see ops/ntt.py::_mxu_tables)."""
+    if mt is not None:
+        from ..ops import ntt_mxu_pallas as _mxp
+        return _mxp.ntt_mxu_nat(mt, x)
+    return S.ntt_p(x, tabs, lazy)
+
+
+def _intt_t(x, tabs, lazy, mt=None):
+    if mt is not None:
+        from ..ops import ntt_mxu_pallas as _mxp
+        return _mxp.intt_mxu_nat(mt, x)
+    return S.intt_p(x, tabs, lazy)
 
 
 @dataclasses.dataclass
@@ -53,6 +70,8 @@ class ModRaiseKeyArrays:
     window: int = 0           # hybrid gadget window (0 = pure RNS digits)
     k_per_limb: int = 1
     lazy: bool = False        # Harvey lazy butterflies (all primes < 2^30)
+    mt_ct: object = None      # MxuNttTables for the ct ring (TPU) or None
+    mt_exp: object = None     # MxuNttTables for the expanded ring or None
 
 
 def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
@@ -85,7 +104,8 @@ def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
         tabs_exp=full_table_pytree(exp_ring.tables),
         ps_res=jnp.asarray(ps_res), inv_ps_mont=jnp.asarray(inv_ps),
         exp_ring=exp_ring, ct_ring=ct_ring, window=window, k_per_limb=kpl,
-        lazy=ct_ring.tables.lazy_ok and exp_ring.tables.lazy_ok)
+        lazy=ct_ring.tables.lazy_ok and exp_ring.tables.lazy_ok,
+        mt_ct=_mxu_tables(ct_ring.tables), mt_exp=_mxu_tables(exp_ring.tables))
 
 
 def _gadget_digits(ka: ModRaiseKeyArrays, xp):
@@ -108,7 +128,7 @@ def _gadget_digits(ka: ModRaiseKeyArrays, xp):
         d = (xp[..., :, None, None, :] >> shifts) & mask   # (.., Lc, K, 1, n)
         digs = jnp.broadcast_to(d, xp.shape[:-2] + (Lc, K, Le, n))
         digs = digs.reshape(xp.shape[:-2] + (Lc * K, Le, n)).astype(jnp.uint32)
-    return S.ntt_p(digs, ka.tabs_exp, ka.lazy)
+    return _ntt_t(digs, ka.tabs_exp, ka.lazy, ka.mt_exp)
 
 
 def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
@@ -123,14 +143,14 @@ def _modraise_keyswitch(ka: ModRaiseKeyArrays, c1p, c2p):
     acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp), mp_exp, -3)
     # expand c1 by ps and adjoin the zero special limb (in the dual domain
     # — scalar multiply and zero-limb are domain-independent)
-    c1d = S.ntt_p(modmath.mul_mod(c1p, ka.ps_res, mp_ct), ka.tabs_ct, ka.lazy)
+    c1d = _ntt_t(modmath.mul_mod(c1p, ka.ps_res, mp_ct), ka.tabs_ct, ka.lazy, ka.mt_ct)
     zero = jnp.zeros(c1d.shape[:-2] + (1, n), dtype=jnp.uint32)
     c1e = jnp.concatenate([c1d, zero], axis=-2)
     r1 = modmath.add_mod(c1e, acc1, mp_exp)
     r2 = acc2
     # contract: rescale by the special prime (needs primal)
-    r1p = S.intt_p(r1, ka.tabs_exp, ka.lazy)
-    r2p = S.intt_p(r2, ka.tabs_exp, ka.lazy)
+    r1p = _intt_t(r1, ka.tabs_exp, ka.lazy, ka.mt_exp)
+    r2p = _intt_t(r2, ka.tabs_exp, ka.lazy, ka.mt_exp)
 
     def rescale(x):
         last = x[..., -1:, :]
@@ -166,8 +186,8 @@ class RotateMatmulLayer:
 
         def fn(c1p, c2p, diag_dual):
             mp = _mp_full(ka.tabs_ct)
-            c1d = S.ntt_p(c1p, ka.tabs_ct, ka.lazy)
-            c2d = S.ntt_p(c2p, ka.tabs_ct, ka.lazy)
+            c1d = _ntt_t(c1p, ka.tabs_ct, ka.lazy, ka.mt_ct)
+            c2d = _ntt_t(c2p, ka.tabs_ct, ka.lazy, ka.mt_ct)
             res1 = modmath.mul_mod(c1d, diag_dual[0], mp)
             res2 = modmath.mul_mod(c2d, diag_dual[0], mp)
 
@@ -176,8 +196,8 @@ class RotateMatmulLayer:
                 g1 = galois(r1p, mp)
                 g2 = galois(r2p, mp)
                 o1, o2 = _modraise_keyswitch(ka, g1, g2)
-                od1 = S.ntt_p(o1, ka.tabs_ct, ka.lazy)
-                od2 = S.ntt_p(o2, ka.tabs_ct, ka.lazy)
+                od1 = _ntt_t(o1, ka.tabs_ct, ka.lazy, ka.mt_ct)
+                od2 = _ntt_t(o2, ka.tabs_ct, ka.lazy, ka.mt_ct)
                 dk = jax.lax.dynamic_index_in_dim(diag_dual, k, 0,
                                                   keepdims=False)
                 res1 = modmath.add_mod(res1, modmath.mul_mod(od1, dk, mp), mp)
@@ -215,13 +235,13 @@ class SquareRelinLayer:
 
         def fn(c1p, c2p):
             mp = _mp_full(ka.tabs_ct)
-            c1d = S.ntt_p(c1p, ka.tabs_ct, ka.lazy)
-            c2d = S.ntt_p(c2p, ka.tabs_ct, ka.lazy)
+            c1d = _ntt_t(c1p, ka.tabs_ct, ka.lazy, ka.mt_ct)
+            c2d = _ntt_t(c2p, ka.tabs_ct, ka.lazy, ka.mt_ct)
             d1 = modmath.mul_mod(c1d, c1d, mp)
             mid = modmath.mul_mod(c1d, c2d, mp)
             d2 = modmath.add_mod(mid, mid, mp)
             d3 = modmath.mul_mod(c2d, c2d, mp)
-            d3p = S.intt_p(d3, ka.tabs_ct)
+            d3p = _intt_t(d3, ka.tabs_ct, ka.lazy, ka.mt_ct)
             # relinearize (d1, d2) += keyswitch(d3); d1/d2 play the c1/c2
             # roles but both carry data — fold d2 through the mask channel
             o1, o2 = _modraise_keyswitch_pair(ka, d1, d2, d3p)
@@ -263,8 +283,8 @@ def _modraise_keyswitch_pair(ka: ModRaiseKeyArrays, d1_dual, d2_dual, d3p):
     e2 = jnp.concatenate([modmath.mul_mod(d2_dual, ka.ps_res, mp_ct), zero], -2)
     r1 = modmath.add_mod(e1, acc1, mp_exp)
     r2 = modmath.add_mod(e2, acc2, mp_exp)
-    r1p = S.intt_p(r1, ka.tabs_exp, ka.lazy)
-    r2p = S.intt_p(r2, ka.tabs_exp, ka.lazy)
+    r1p = _intt_t(r1, ka.tabs_exp, ka.lazy, ka.mt_exp)
+    r2p = _intt_t(r2, ka.tabs_exp, ka.lazy, ka.mt_exp)
 
     def rescale(x):
         last = x[..., -1:, :]
@@ -288,12 +308,15 @@ class ConvLayer:
         sub = ct.drop_last()
         self.sub_ring = sub
         self.tabs = full_table_pytree(ct.tables)
+        self.mt = _mxu_tables(ct.tables)
         self.inv_q_mont = jnp.asarray(
             _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
         self._fn = jax.jit(self._build())
 
     def _build(self):
         tabs = self.tabs
+        mt = self.mt
+        lazy = self.ct_ring.tables.lazy_ok
         inv_q = self.inv_q_mont
 
         def fn(cts_dual, w_res, bias_dual):
@@ -310,7 +333,7 @@ class ConvLayer:
 
             acc = jax.lax.fori_loop(0, G, body, acc0)
             acc = acc.at[:, 0].set(modmath.add_mod(acc[:, 0], bias_dual, mp))
-            accp = S.intt_p(acc, tabs)
+            accp = _intt_t(acc, tabs, lazy, mt)
             mp_sub = _sub_mp(mp)
             last = accp[..., -1:, :]
             last_mod = modmath.umod(last, mp_sub.p)
@@ -332,19 +355,22 @@ class BiasRescaleLayer:
         sub = ct_ring.drop_last()
         self.sub_ring = sub
         self.tabs = full_table_pytree(ct_ring.tables)
+        self.mt = _mxu_tables(ct_ring.tables)
         self.inv_q_mont = jnp.asarray(
             _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
         self._fn = jax.jit(self._build())
 
     def _build(self):
         tabs = self.tabs
+        mt = self.mt
+        lazy = self.ct_ring.tables.lazy_ok
         inv_q = self.inv_q_mont
 
         def fn(c1d, c2d, bias_dual):
             mp = _mp_full(tabs)
             c1d = modmath.add_mod(c1d, bias_dual, mp)
             stack = jnp.stack([c1d, c2d], 0)
-            p = S.intt_p(stack, tabs)
+            p = _intt_t(stack, tabs, lazy, mt)
             mp_sub = _sub_mp(mp)
             last = p[..., -1:, :]
             last_mod = modmath.umod(last, mp_sub.p)
@@ -370,12 +396,17 @@ class BatchEncryptor:
         self.sigma = sigma
         self.tabs_full = full_table_pytree(full.tables)
         self.tabs_ct = full_table_pytree(ct.tables)
+        self.mt_full = _mxu_tables(full.tables)
+        self.mt_ct = _mxu_tables(ct.tables)
         self.mask_d = R.ensure_dual(full, pub.key.mask).dual
         self.masked_d = R.ensure_dual(full, pub.key.masked).dual
         self._fn = jax.jit(self._build())
 
     def _build(self):
         tabs_full, tabs_ct = self.tabs_full, self.tabs_ct
+        mt_full, mt_ct = self.mt_full, self.mt_ct
+        lazy_f = self.full.tables.lazy_ok
+        lazy_c = self.ct_ring.tables.lazy_ok
         mask_d, masked_d = self.mask_d, self.masked_d
         sigma = self.sigma
         Lf = mask_d.shape[0]
@@ -392,15 +423,15 @@ class BatchEncryptor:
                 return modmath.from_signed(
                     jnp.broadcast_to(ints, (Lf, n)), mpf)
 
-            ud = S.ntt_p(gauss(k1), tabs_full)
-            e1d = S.ntt_p(gauss(k2), tabs_full)
-            e2d = S.ntt_p(gauss(k3), tabs_full)
+            ud = _ntt_t(gauss(k1), tabs_full, lazy_f, mt_full)
+            e1d = _ntt_t(gauss(k2), tabs_full, lazy_f, mt_full)
+            e2d = _ntt_t(gauss(k3), tabs_full, lazy_f, mt_full)
             c1 = modmath.add_mod(modmath.mul_mod(masked_d, ud, mpf), e1d, mpf)
             c2 = modmath.add_mod(modmath.mul_mod(mask_d, ud, mpf), e2d, mpf)
             Lc = ptp.shape[-2]
             c1 = c1[:Lc]
             c2 = c2[:Lc]
-            c1 = modmath.add_mod(c1, S.ntt_p(ptp, tabs_ct), mp)
+            c1 = modmath.add_mod(c1, _ntt_t(ptp, tabs_ct, lazy_c, mt_ct), mp)
             return jnp.stack([c1, c2], 0)
 
         def fn(pts, key):
