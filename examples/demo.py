@@ -59,8 +59,31 @@ def demo_ckks():
     assert err < 1e-2 and err_r < 1e-4
 
 
+def demo_bootstrap():
+    """CKKS bootstrap: refresh an exhausted ciphertext without the
+    secret key (beyond the reference — ToyFHE is leveled only)."""
+    print("== CKKS bootstrap ==")
+    from toyfhe_tpu.core import bootstrap as B
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    ring = F.make_rns_ring(32, (30,) * 17)
+    params = F.CKKSParams(ring, 4, 3.2, secret="sparse", hamming_weight=4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=46)
+    vals = np.linspace(-0.7, 0.7, 16) + 0.2j
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 23), ks[2])
+    while c.ring.nlimbs > 1:                      # exhaust the tower
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    err = np.abs(F.decrypt(kp, out) - vals).max()
+    print(f"refreshed {c.ring.nlimbs} limb -> {out.ring.nlimbs} limbs, "
+          f"err: {err:.2e}")
+    assert out.ring.nlimbs >= 5 and err < 5e-2
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     demo_bfv()
     demo_ckks()
+    demo_bootstrap()
     print("demo OK")

@@ -83,6 +83,82 @@ def test_c2s_s2c_roundtrip(setup):
     np.testing.assert_allclose(got, vals, atol=5e-3)
 
 
+@pytest.fixture(scope="module")
+def deep():
+    """Bootstrap-grade parameters: deep all-30-bit tower (q₀-sized level
+    primes keep the scale in equilibrium through EvalMod) and a sparse
+    ternary secret bounding the ModRaise overflow."""
+    ring = F.make_rns_ring(N, (30,) * 17)
+    params = F.CKKSParams(ring, 4, 3.2, secret="sparse", hamming_weight=4)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=46)
+    return ring, params, kp, ctx, ks[2]
+
+
+def test_sparse_ternary_secret(deep):
+    ring, params, kp, ctx, k = deep
+    prim = np.asarray(
+        ringops.ensure_primal(ring, kp.priv.secret).primal)
+    vals = np.array([nt.centered(x, ring.modulus)
+                     for x in ring.to_bigint(prim)])
+    assert np.count_nonzero(vals) == 4
+    assert set(np.unique(vals)) <= {-1, 0, 1}
+
+
+def test_scale_alignment_primitives(setup):
+    """mul_plain_scalar_at / ct_to: exact-Fraction scale algebra for
+    cross-path adds — the PS evaluator's foundation."""
+    from toyfhe_tpu.core import ckks_encoding as CE
+    ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup
+    # explicit-scale multiply: value ×0.5, tag ×2^20
+    c2 = F.ct_rescale(CE.mul_plain_scalar_at(c, 0.5, Fraction(2) ** 20))
+    np.testing.assert_allclose(F.decrypt(kp, c2), 0.5 * vals, atol=1e-3)
+    # align to (4 limbs, scale 3/2·current) exactly
+    target = Fraction(c2.enc.scale) * 3 / 2
+    c3 = CE.ct_to(c2, 4, target)
+    assert c3.ring.nlimbs == 4 and Fraction(c3.enc.scale) == target
+    np.testing.assert_allclose(F.decrypt(kp, c3), 0.5 * vals, atol=1e-3)
+    # retag is free exact division of the value
+    c4 = CE.retag(c3, Fraction(c3.enc.scale) * 2)
+    np.testing.assert_allclose(F.decrypt(kp, c4), 0.25 * vals, atol=1e-3)
+
+
+def test_eval_chebyshev(deep):
+    """Paterson–Stockmeyer in the Chebyshev basis: O(√d) muls, O(log d)
+    depth, exact per-term scale matching."""
+    ring, params, kp, ctx, k = deep
+    H = ring.n // 2
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(-4.5, 4.5, H)
+    c = F.encrypt(kp, F.make_plaintext(ring, xs + 0j, Fraction(2) ** 30), k)
+    out = B.eval_chebyshev(ctx.ek, c, ctx.cheb, ctx.K)
+    got = F.decrypt(kp, out).real
+    expect = np.polynomial.chebyshev.chebval(xs / ctx.K, ctx.cheb)
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+    # the whole point of BSGS/PS: logarithmic depth, not 46 levels
+    assert out.ring.nlimbs >= 9
+
+
+def test_full_bootstrap(deep):
+    """End-to-end CKKS bootstrap: an exhausted (single-limb) ciphertext
+    is refreshed to a deep tower without the secret key, preserving the
+    message. ModRaise → retag(q₀) → CoeffToSlot → batched sine EvalMod
+    → SlotToCoeff."""
+    ring, params, kp, ctx, k = deep
+    H = ring.n // 2
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(ring, vals, Fraction(2) ** 23), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    assert c.ring.nlimbs == 1
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 5          # usable depth regained
+    got = F.decrypt(kp, out)
+    np.testing.assert_allclose(got, vals, atol=3e-2)
+
+
 def test_eval_poly(setup):
     """Homomorphic Horner: degree-5 odd sine approximation on [-1, 1]."""
     ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup

@@ -18,17 +18,33 @@ top of the engine's rotation/keyswitch machinery:
     (core/ckks_encoding.py::ckks_decode): since the full odd-row DFT is
     √N-unitary, c = (1/N)(Uᴴ v + Ūᴴ v̄) — two transforms plus one
     conjugation.
-  * **Low-depth polynomial evaluation** (Paterson–Stockmeyer-style
-    power basis) — the EvalMod ingredient; evaluates a degree-d
-    polynomial with O(log d) ct×ct depth.
+  * **Low-depth polynomial evaluation** — Horner (``eval_poly``) and
+    the real thing: :func:`eval_chebyshev`, a Chebyshev-basis
+    Paterson–Stockmeyer evaluator with O(√d) multiplies and O(log d)
+    depth, built on exact-Fraction scale alignment
+    (``ckks_encoding.ct_to`` / ``mul_plain_scalar_at``).
 
-What full bootstrap still needs (round-2+): ModRaise of an exhausted
-ciphertext to the top tower, the scaled-sine EvalMod polynomial with
-double-angle iterations, and parameter sets deep enough to hold them.
+And the FULL bootstrap on top (:func:`bootstrap`):
+
+  * **ModRaise** (:func:`mod_raise`) — reinterpret an exhausted
+    ciphertext's residues in the full tower (m + q₀·I, ‖I‖∞ bounded by
+    the sparse-secret hamming weight);
+  * **retag by q₀** — the division by q₀ is a free scale
+    reinterpretation, not a lossy matrix scaling;
+  * **EvalMod** — sine approximation sin(2πu)/2π evaluated by
+    :func:`eval_chebyshev` on BOTH CoeffToSlot halves stacked into one
+    batch-2 ciphertext (keyswitches shared);
+  * **SlotToCoeff** back, with q₀/Δ folded into the matrices.
+
+Parameter recipe (test_bootstrap.py::deep): q₀-sized (~30-bit) level
+primes keep the scale in equilibrium through EvalMod — the production
+CKKS convention of bootstrap-sized moduli; sparse ternary secret of
+hamming weight h gives K ≥ (1+h)/2 + 1.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from fractions import Fraction
 from typing import Sequence
@@ -145,34 +161,39 @@ def decode_matrix(n: int) -> np.ndarray:
     return np.exp(-2j * np.pi * np.outer(g, k) / m)
 
 
-def coeff_to_slot(gks: GaloisKeys, gk_conj, c: CipherText):
+def coeff_to_slot(gks: GaloisKeys, gk_conj, c: CipherText, factor: float = 1.0):
     """Enc(v) → (Enc(c_lo), Enc(c_hi)): the slot vectors become the low
     and high halves of the COEFFICIENT vector of the underlying
-    plaintext polynomial (each divided by the ciphertext scale).
+    plaintext polynomial (each divided by the ciphertext scale), times
+    ``factor``.
 
     c_k = (1/N)·(Σ_j Ū[j,k]·v_j + Σ_j U[j,k]·v̄_j) — two BSGS linear
     transforms on (ct, conj(ct)). Consumes one level; rescale after.
+    ``factor`` folds a constant into the transform matrices for free —
+    bootstrap passes scale/q₀ so the slots come out as coeff/q₀.
     """
     n = c.ring.n
     h = n // 2
     U = decode_matrix(n)
+    f = factor / n
     cbar = conjugate(gk_conj, c)
-    lo = rlwe.ct_add(linear_transform(gks, c, np.conj(U[:, :h]).T / n),
-                     linear_transform(gks, cbar, U[:, :h].T / n))
-    hi = rlwe.ct_add(linear_transform(gks, c, np.conj(U[:, h:]).T / n),
-                     linear_transform(gks, cbar, U[:, h:].T / n))
+    lo = rlwe.ct_add(linear_transform(gks, c, np.conj(U[:, :h]).T * f),
+                     linear_transform(gks, cbar, U[:, :h].T * f))
+    hi = rlwe.ct_add(linear_transform(gks, c, np.conj(U[:, h:]).T * f),
+                     linear_transform(gks, cbar, U[:, h:].T * f))
     return lo, hi
 
 
-def slot_to_coeff(gks: GaloisKeys, c_lo: CipherText, c_hi: CipherText
-                  ) -> CipherText:
+def slot_to_coeff(gks: GaloisKeys, c_lo: CipherText, c_hi: CipherText,
+                  factor: float = 1.0) -> CipherText:
     """Inverse of :func:`coeff_to_slot`: slots(out) = A·c_lo + B·c_hi
-    with U = [A | B] — the encode map applied homomorphically."""
+    with U = [A | B] — the encode map applied homomorphically. ``factor``
+    folds a constant in (bootstrap passes q₀/scale)."""
     n = c_lo.ring.n
     h = n // 2
     U = decode_matrix(n)
-    return rlwe.ct_add(linear_transform(gks, c_lo, U[:, :h]),
-                       linear_transform(gks, c_hi, U[:, h:]))
+    return rlwe.ct_add(linear_transform(gks, c_lo, U[:, :h] * factor),
+                       linear_transform(gks, c_hi, U[:, h:] * factor))
 
 
 # ---------------------------------------------------------------------------
@@ -207,3 +228,255 @@ def eval_poly(ek, c: CipherText, coeffs: Sequence[float]) -> CipherText:
             x = rlwe.ct_modswitch_drop(x)
         r = CE.add_plain(_mul_rescale(ek, r, x), coeffs[i])
     return r
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-basis Paterson–Stockmeyer evaluation (low-depth EvalMod)
+# ---------------------------------------------------------------------------
+
+_TINY = 1e-13
+
+
+def _mul_ct(ek, a: CipherText, b: CipherText) -> CipherText:
+    """ct×ct with tower alignment, relinearization, rescale."""
+    nl = min(a.ring.nlimbs, b.ring.nlimbs)
+    a = CE.ct_drop_to(a, nl)
+    b = CE.ct_drop_to(b, nl)
+    return rlwe.ct_rescale(rlwe.keyswitch(ek, rlwe.ct_mul(a, b)))
+
+
+class ChebBasis:
+    """Memoized Chebyshev power basis T_i(y) over an encrypted y ∈ [−1,1].
+
+    T_{a+b} = 2·T_a·T_b − T_{|a−b|} with a = ⌈i/2⌉, b = ⌊i/2⌋ gives every
+    index at log₂(i) multiplicative depth; giant steps T_{k·2^j} fall out
+    of the same recursion (a = b → 2T_a² − 1). Every subtraction aligns
+    the shallower operand with :func:`ckks_encoding.ct_to`, so all scale
+    tags stay EXACT Fractions."""
+
+    def __init__(self, ek, y: CipherText):
+        self.ek = ek
+        self.T = {1: y}
+
+    def get(self, i: int) -> CipherText:
+        if i in self.T:
+            return self.T[i]
+        if i < 1:
+            raise ValueError("T_0 is the plain constant 1")
+        a, b = (i + 1) // 2, i // 2
+        ta, tb = self.get(a), self.get(b)
+        two = CE.mul_int(_mul_ct(self.ek, ta, tb), 2)
+        if a == b:
+            out = CE.add_plain(two, -1.0)
+        else:                           # a − b = 1
+            sub = CE.ct_to(self.get(a - b), two.ring.nlimbs, two.enc.scale)
+            out = rlwe.ct_sub(two, sub)
+        self.T[i] = out
+        return out
+
+
+def _align_sum(terms, nl=None):
+    """Sum ciphertext terms after aligning all to a common exact
+    (tower, scale): the deepest term sets the target; a same-depth term
+    at a different scale forces one extra level down. ``nl`` caps the
+    target tower length."""
+    lo = min(t.ring.nlimbs for t in terms)
+    nl = lo if nl is None else min(nl, lo)
+    anchors = [t for t in terms if t.ring.nlimbs == nl]
+    target_scale = (anchors if anchors else terms)[0].enc.scale
+    if any(t.enc.scale != target_scale for t in anchors):
+        nl -= 1
+    out = None
+    for t in terms:
+        t = CE.ct_to(t, nl, target_scale)
+        out = t if out is None else rlwe.ct_add(out, t)
+    return out, nl, target_scale
+
+
+def _plain_term(t: CipherText, a: float, nlimbs: int, scale) -> CipherText:
+    """a·t landed exactly at (nlimbs, scale): drop to nlimbs+1, multiply
+    at the correcting plaintext scale, rescale."""
+    t = CE.ct_drop_to(t, nlimbs + 1)
+    p = t.ring.primes[-1]
+    r = Fraction(scale) * p / t.enc.scale
+    return rlwe.ct_rescale(CE.mul_plain_scalar_at(t, a, r))
+
+
+def _ps_base(basis: ChebBasis, coeffs):
+    """Σ_{1≤i<k} aᵢ·Tᵢ as one batch of exactly-aligned plain multiplies;
+    the constant a₀ is returned separately (added plain by the caller)."""
+    used = [(i, a) for i, a in enumerate(coeffs)
+            if i >= 1 and abs(a) > _TINY]
+    const = float(coeffs[0]) if coeffs else 0.0
+    if not used:
+        return None, const
+    ts = [basis.get(i) for i, _ in used]
+    nl = min(t.ring.nlimbs for t in ts) - 1
+    scale = next(t for t in ts if t.ring.nlimbs == nl + 1).enc.scale
+    out = None
+    for (i, a), t in zip(used, ts):
+        term = _plain_term(t, a, nl, scale)
+        out = term if out is None else rlwe.ct_add(out, term)
+    return out, const
+
+
+def _ps_recurse(basis: ChebBasis, coeffs, k: int):
+    """Recursive Paterson–Stockmeyer split in the Chebyshev basis:
+    p = q·T_g + r with g = k·2^{m−1} the largest giant ≤ deg(p), using
+    T_i = 2·T_{i−g}·T_g − T_{|i−2g|}. Returns (ct-part, constant)."""
+    while coeffs and abs(coeffs[-1]) <= _TINY:
+        coeffs = coeffs[:-1]
+    d = len(coeffs) - 1
+    if d < k:
+        return _ps_base(basis, coeffs)
+    m = 1
+    while (k << m) <= d:
+        m += 1
+    g = k << (m - 1)
+    q = [coeffs[g]] + [2.0 * x for x in coeffs[g + 1:]]
+    r = list(coeffs[:g])
+    for i in range(g + 1, d + 1):
+        r[2 * g - i] -= coeffs[i]
+    ctq, aq = _ps_recurse(basis, q, k)
+    ctr, ar = _ps_recurse(basis, r, k)
+    tg = basis.get(g)
+
+    terms = []
+    if ctq is not None:
+        terms.append(_mul_ct(basis.ek, ctq, tg))
+    if ctr is not None:
+        terms.append(ctr)
+    if not terms:
+        if abs(aq) <= _TINY:
+            return None, ar
+        nl = tg.ring.nlimbs - 1
+        return _plain_term(tg, aq, nl, tg.enc.scale), ar
+    # the aq·T_g plain term needs one spare level on T_g itself
+    cap = tg.ring.nlimbs - 1 if abs(aq) > _TINY else None
+    summed, nl, tscale = _align_sum(terms, nl=cap)
+    if abs(aq) > _TINY:
+        summed = rlwe.ct_add(summed, _plain_term(tg, aq, nl, tscale))
+    return summed, ar
+
+
+def eval_chebyshev(ek, c: CipherText, cheb_coeffs, interval: float
+                   ) -> CipherText:
+    """Evaluate p(x) = Σ aᵢ·Tᵢ(x/K) homomorphically, K = ``interval``,
+    coefficients in the Chebyshev basis on [−1, 1] (numpy ``chebval``
+    convention), with O(√d) ct×ct multiplies and O(log d) depth.
+
+    The reference has no polynomial evaluator at all; this is the EvalMod
+    engine of the bootstrap, built on exact-Fraction scale alignment
+    (``ckks_encoding.ct_to``) so cross-path additions stay well-typed."""
+    coeffs = [float(a) for a in np.asarray(cheb_coeffs, dtype=np.float64)]
+    d = len(coeffs) - 1
+    if d < 1:
+        raise ValueError("constant polynomial — nothing to evaluate")
+    p = c.ring.primes[-1]
+    y = rlwe.ct_rescale(CE.mul_plain_scalar_at(c, 1.0 / interval, p))
+    k = max(2, math.isqrt((d + 1) // 2) + 1)
+    basis = ChebBasis(ek, y)
+    ct, const = _ps_recurse(basis, coeffs, k)
+    if ct is None:
+        raise ValueError("polynomial had no ciphertext-dependent part")
+    if abs(const) > _TINY:
+        ct = CE.add_plain(ct, const)
+    return ct
+
+
+# ---------------------------------------------------------------------------
+# ModRaise + the full bootstrap pipeline
+# ---------------------------------------------------------------------------
+
+def mod_raise(c: CipherText) -> CipherText:
+    """Reinterpret an exhausted ciphertext's residues as integers in the
+    FULL tower Q: decrypting the result gives m + q₀·I + e with
+    ‖I‖∞ ≲ (1 + ‖s‖₁)/2 — the overflow the EvalMod phase removes. The
+    scale tag is unchanged; the single-limb path runs on device."""
+    import jax.numpy as jnp
+    from ..ops import modmath
+
+    top = c.params.ring_cipher
+    ring = c.ring
+    if ring is top:
+        raise ValueError("ciphertext already at the full tower")
+    cs = []
+    for x in c.cs:
+        x = R.ensure_primal(ring, x)
+        if ring.nlimbs == 1:
+            lift = modmath.centered(x.primal, ring.mp)       # int32 [..,1,N]
+            shape = x.primal.shape[:-2] + (top.nlimbs, ring.n)
+            arr = modmath.from_signed(jnp.broadcast_to(lift, shape), top.mp)
+        else:                       # general tower: exact host CRT lift
+            vals = ring.to_bigint(np.asarray(x.primal))
+            q = ring.modulus
+            arr = jnp.asarray(top.from_bigint(
+                [v - q if v > q // 2 else v for v in vals]))
+        cs.append(R.RingElt(primal=arr))
+    return CipherText(c.params, tuple(cs), top, enc=c.enc)
+
+
+def sine_cheb_coeffs(K: float, deg: int) -> np.ndarray:
+    """Chebyshev fit of f(y) = sin(2πKy)/(2π) on [−1, 1] — the scaled
+    modular-reduction approximation: f(u/K) ≈ u − round(u) for |u| ≤ K
+    when the fractional part is small."""
+    return np.polynomial.chebyshev.chebinterpolate(
+        lambda y: np.sin(2 * np.pi * K * y) / (2 * np.pi), deg)
+
+
+@dataclasses.dataclass
+class BootstrapContext:
+    """Keys + EvalMod plan for bootstrapping a parameter set.
+
+    ``K`` must bound the ModRaise overflow: with a sparse ternary secret
+    of hamming weight h, K ≥ (1 + h)/2 + 1. ``deg`` is the sine fit
+    degree (decay sets in past 2πK, so ~2πK + 15 is comfortable)."""
+
+    ek: object
+    gks: GaloisKeys
+    gk_conj: object
+    K: float = 5.0
+    deg: int = 46
+
+    def __post_init__(self):
+        self.cheb = sine_cheb_coeffs(self.K, self.deg)
+
+
+def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46
+                    ) -> BootstrapContext:
+    """Generate the rotation/conjugation/relinearization keys and the
+    EvalMod polynomial for :func:`bootstrap`."""
+    import jax
+
+    k1, k2 = jax.random.split(rng)
+    n = priv.params.ring_key.n
+    bs, gs = bsgs_split(n // 2)
+    gks, gk_conj = keygen_bootstrap_keys(k1, priv, bs, gs)
+    ek = rlwe.keygen_eval_mult(k2, priv)
+    return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg)
+
+
+def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
+    """Full CKKS bootstrap: refresh an exhausted ciphertext to a deep
+    tower without the secret key.
+
+        ModRaise → retag to q₀ → CoeffToSlot → EvalMod (sine PS eval,
+        both halves as ONE batched ciphertext) → SlotToCoeff (×q₀/Δ)
+
+    The division by q₀ is a RETAG — a free, noiseless reinterpretation
+    of the scale — so the slot values entering EvalMod are
+    coeff/q₀ + I, of size ≤ K, with full-precision transform matrices.
+    The tower's level primes should be ≈ q₀-sized so the scale stays in
+    equilibrium through EvalMod (the production-CKKS convention of
+    bootstrap-sized special primes). The two C2S output halves are
+    stacked into one batch-2 ciphertext so EvalMod's keyswitches are
+    shared — the batched-engine payoff."""
+    q0 = c.ring.modulus
+    scale = Fraction(c.enc.scale)
+    cr = CE.retag(mod_raise(c), q0)
+    lo, hi = coeff_to_slot(ctx.gks, ctx.gk_conj, cr)
+    both = rlwe.ct_stack([rlwe.ct_rescale(lo), rlwe.ct_rescale(hi)])
+    ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K)
+    lo2, hi2 = rlwe.ct_index(ev, 0), rlwe.ct_index(ev, 1)
+    return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2,
+                                         factor=float(q0 / scale)))

@@ -21,10 +21,20 @@ DEFAULT_SIGMA = 8.0 / math.sqrt(2.0 * math.pi)
 
 class CKKSParams(SchemeParams):
     def __init__(self, ring: RingContext, relin_window: int = 0,
-                 sigma: float = DEFAULT_SIGMA):
+                 sigma: float = DEFAULT_SIGMA, secret: str = "gaussian",
+                 hamming_weight: int = 0):
+        """``secret="sparse"`` draws 𝒢 as a sparse ternary with
+        ``hamming_weight`` nonzero ±1 coefficients — required for
+        bootstrapping, where ‖s‖₁ bounds the ModRaise overflow K."""
         self._ring = ring
         self.relin_window = relin_window
         self.sigma = float(sigma)
+        if secret not in ("gaussian", "sparse"):
+            raise ValueError(f"unknown secret distribution {secret!r}")
+        if secret == "sparse" and hamming_weight <= 0:
+            raise ValueError("sparse secret requires hamming_weight > 0")
+        self.secret = secret
+        self.hamming_weight = int(hamming_weight)
 
     @property
     def ring_cipher(self) -> RingContext:
@@ -48,5 +58,8 @@ class CKKSParams(SchemeParams):
             key, ring.mp, ring.n, self.sigma, batch))
 
     def secret_sampler(self, key, ring: RingContext, batch=()):
+        if self.secret == "sparse":
+            return RingElt(primal=sampling.sparse_ternary(
+                key, ring.mp, ring.n, self.hamming_weight, batch))
         return RingElt(primal=sampling.discrete_gaussian(
             key, ring.mp, ring.n, self.sigma, batch))

@@ -163,13 +163,78 @@ def _ct_scale(c: CipherText) -> Fraction:
 def mul_plain_scalar(c: CipherText, x: float) -> CipherText:
     """c ·ₚ scalar — quantize at the ciphertext's scale; result scale
     squares (ckksencoding.jl:100-105)."""
+    return mul_plain_scalar_at(c, x, _ct_scale(c))
+
+
+def mul_plain_scalar_at(c: CipherText, x, at_scale: ScaleLike) -> CipherText:
+    """c ·ₚ scalar quantized at an EXPLICIT scale: result scale is
+    exactly ``ct_scale · at_scale`` (quantization error ≤ 1/(2·at_scale)
+    relative, absorbed into the noise). This is the exact-scale-algebra
+    primitive behind cross-path alignment (``ct_to``) and the
+    Paterson–Stockmeyer evaluator's per-term scale matching — beyond the
+    reference, which has no ct+ct at differing FixedRational scales."""
     scale = _ct_scale(c)
+    at_scale = Fraction(at_scale)
+    if at_scale <= 0:
+        raise ValueError("at_scale must be positive")
     q = c.ring.modulus
-    v = Fraction(x) * scale
+    v = Fraction(x) * at_scale
     m = (2 * v.numerator + v.denominator) // (2 * v.denominator)
     s = c.ring.scalar_residues(m % q)
     cs = tuple(R.scalar_mul(c.ring, s, x_) for x_ in c.cs)
-    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * at_scale))
+
+
+def mul_plain_vector_at(c: CipherText, vec, at_scale: ScaleLike) -> CipherText:
+    """c ·ₚ slot vector quantized at an explicit scale (see
+    :func:`mul_plain_scalar_at`); result scale = ct_scale · at_scale."""
+    scale = _ct_scale(c)
+    at_scale = Fraction(at_scale)
+    pe = ckks_encode(c.ring, np.asarray(vec, dtype=np.complex128), at_scale)
+    cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * at_scale))
+
+
+def retag(c: CipherText, scale: ScaleLike) -> CipherText:
+    """Reinterpret the ciphertext at a different exact scale — free and
+    noiseless (no data touched); the decoded VALUE is divided by
+    new/current. Bootstrap uses this to divide by q₀ exactly."""
+    return CipherText(c.params, c.cs, c.ring, enc=CKKSTag(Fraction(scale)))
+
+
+def mul_int(c: CipherText, k: int) -> CipherText:
+    """Exact small-integer multiply: scales the VALUE by k, scale tag
+    unchanged (used for the 2·T_a·T_b Chebyshev recurrences)."""
+    s = c.ring.scalar_residues(int(k) % c.ring.modulus)
+    cs = tuple(R.scalar_mul(c.ring, s, x_) for x_ in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=c.enc)
+
+
+def ct_drop_to(c: CipherText, nlimbs: int) -> CipherText:
+    """Drop limbs (no rescale) until the tower has ``nlimbs`` levels."""
+    while c.ring.nlimbs > nlimbs:
+        c = rlwe.ct_modswitch_drop(c)
+    if c.ring.nlimbs != nlimbs:
+        raise ValueError(
+            f"cannot raise tower: at {c.ring.nlimbs}, want {nlimbs}")
+    return c
+
+
+def ct_to(c: CipherText, nlimbs: int, scale: ScaleLike) -> CipherText:
+    """Bring a CKKS ciphertext to an EXACT (tower length, scale) target
+    using spare levels: limb drops plus, when the scale differs, one
+    scalar multiply at the correcting scale r = scale·p/current followed
+    by a rescale by p. Requires one spare level in that case."""
+    scale = Fraction(scale)
+    cur = _ct_scale(c)
+    if cur == scale:
+        return ct_drop_to(c, nlimbs)
+    c = ct_drop_to(c, nlimbs + 1)
+    p = c.ring.primes[-1]
+    r = scale * p / cur
+    if r < 2:
+        raise ValueError(f"alignment ratio {float(r):g} too small to quantize")
+    return rlwe.ct_rescale(mul_plain_scalar_at(c, 1.0, r))
 
 
 def mul_plain_vector(c: CipherText, vec) -> CipherText:

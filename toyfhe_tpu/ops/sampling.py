@@ -49,3 +49,23 @@ def discrete_gaussian(key, mp: modmath.MontParams, n: int, sigma: float,
 
 def zero(mp: modmath.MontParams, n: int, batch: Tuple[int, ...] = ()):
     return jnp.zeros(batch + (mp.nlimbs, n), dtype=jnp.uint32)
+
+
+def sparse_ternary(key, mp: modmath.MontParams, n: int, h: int,
+                   batch: Tuple[int, ...] = ()):
+    """Sparse ternary secret: exactly ``h`` nonzero ±1 coefficients at
+    uniform positions (the HES sparse-secret distribution used for CKKS
+    bootstrapping — bounds the ModRaise overflow ‖I‖∞ ≤ (1+h)/2+1)."""
+    import numpy as np
+
+    nb = int(np.prod(batch)) if batch else 1
+    keys = jax.random.split(key, 2 * nb)
+    outs = []
+    for i in range(nb):
+        perm = jax.random.permutation(keys[2 * i], n)
+        signs = jax.random.randint(keys[2 * i + 1], (n,), 0, 2,
+                                   dtype=jnp.int32) * 2 - 1
+        outs.append(jnp.where(perm < h, signs, 0))
+    ints = jnp.stack(outs).reshape(batch + (1, n))
+    return modmath.from_signed(
+        jnp.broadcast_to(ints, batch + (mp.nlimbs, n)), mp)

@@ -116,17 +116,26 @@ def minimal_primitive_root_of_unity(p: int, order: int) -> int:
     """Smallest x in F_p with multiplicative order exactly ``order``.
 
     Matches GaloisFields.jl ``minimal_primitive_root`` used at
-    ``/root/reference/src/pow2_cyc_rings.jl:40``: brute-force from 2 up,
-    checking x^order == 1 and x^(order/q) != 1 for each prime q | order.
-    Setup-time only; the scan is short in practice.
+    ``/root/reference/src/pow2_cyc_rings.jl:40`` (the smallest element of
+    exact order ``order``), computed the fast way: the elements of exact
+    order d are ζ^k for gcd(k, d) = 1 with ζ = g^((p−1)/d) and g any
+    generator, so take the minimum over those φ(d) candidates — O(φ(d))
+    instead of the O(p/d) brute-force scan (which is minutes per prime
+    for small rings over 30-bit primes).
     """
     if (p - 1) % order != 0:
         raise ValueError(f"{order}-th roots of unity do not exist mod {p}")
-    qs = _factorize(order)
-    for x in range(2, p):
-        if pow(x, order, p) == 1 and all(pow(x, order // q, p) != 1 for q in qs):
-            return x
-    raise ValueError(f"no primitive {order}-th root mod {p}")
+    if order == 1:
+        return 1
+    g = primitive_root(p)
+    z = pow(g, (p - 1) // order, p)
+    best = None
+    zk = z
+    for k in range(1, order):
+        if math.gcd(k, order) == 1 and (best is None or zk < best):
+            best = zk
+        zk = zk * z % p
+    return best
 
 
 def invmod(a: int, m: int) -> int:
