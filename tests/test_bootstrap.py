@@ -159,6 +159,86 @@ def test_full_bootstrap(deep):
     np.testing.assert_allclose(got, vals, atol=3e-2)
 
 
+def test_sfft_factorization():
+    """Host-side special-FFT factorization of the decode matrix is exact
+    (stages, radix merging, C2S/S2C chains, halfshift link)."""
+    from toyfhe_tpu.core import sfft
+
+    for n in (16, 64):
+        d = n // 2
+        U = B.decode_matrix(n)
+        V, W = U[:, :d], U[:, d:]
+        M = np.eye(d, dtype=complex)
+        for s in sfft.sfft_stages(d):
+            M = sfft.dense_from_diags(s, d) @ M
+        perm = sfft.bitrev_perm(d)
+        np.testing.assert_allclose(M, V[:, perm], atol=1e-12)
+        np.testing.assert_allclose(
+            np.diag(sfft.halfshift_diag(n)) @ V, W, atol=1e-12)
+        plan = sfft.SfftPlan(n, radix=4)
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=d) + 1j * rng.normal(size=d)
+
+        def ap(chain, x):
+            for lvl in chain:
+                x = sfft.dense_from_diags(lvl, d) @ x
+            return x
+
+        lo_ref = (np.conj(V).T @ v + V.T @ np.conj(v)) / n
+        lo_got = ap(plan.c2s_chains[0], v) + ap(plan.c2s_chains[1], np.conj(v))
+        np.testing.assert_allclose(lo_got, lo_ref[perm], atol=1e-12)
+        lo2, hi2 = rng.normal(size=d), rng.normal(size=d)
+        out_got = (ap(plan.s2c_chains[0], lo2[perm])
+                   + ap(plan.s2c_chains[1], hi2[perm]))
+        np.testing.assert_allclose(out_got, V @ lo2 + W @ hi2, atol=1e-12)
+
+
+def test_ring_canonicalization():
+    """Derived towers with the same limb subset of the same root are the
+    SAME RingContext — a special-prime-expanded tower's drop_last is the
+    original ciphertext tower (identity equality is what jit static args
+    and ct_stack compare)."""
+    ring = F.make_rns_ring(16, (20, 20, 20, 20))
+    sub = ring.drop_last()
+    exp = sub.select([0, 1, 2])
+    assert exp.select([0, 1]) is ring.select([0, 1])
+    assert ring.select([0, 1, 2]) is sub
+    assert sub.select([0, 1, 2]) is sub
+
+
+@pytest.fixture(scope="module")
+def deep_mr():
+    """Production-shape bootstrap config: special-prime (ModulusRaised)
+    keyswitching — ~45× less keyswitch noise than windowed digits — with
+    the factored (special-FFT) linear phases and arcsine-corrected
+    EvalMod."""
+    ring = F.make_rns_ring(N, (30,) * 21)
+    params = F.ModulusRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4))
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=46, radix=16,
+                            arcsin=True)
+    return params, kp, ctx, ks[2]
+
+
+def test_factored_bootstrap(deep_mr):
+    """Factored C2S/S2C + ModulusRaised + arcsine: ~1e-4 refresh error
+    with only O(√radix·log d) rotation keys."""
+    params, kp, ctx, k = deep_mr
+    assert len(ctx.gks.keys) <= 8          # vs 7 dense at d=16; scales as log at big N
+    rng = np.random.default_rng(3)
+    H = N // 2
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 6
+    np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
+
+
 def test_eval_poly(setup):
     """Homomorphic Horner: degree-5 odd sine approximation on [-1, 1]."""
     ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup

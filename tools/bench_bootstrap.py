@@ -1,0 +1,128 @@
+"""Production-N CKKS bootstrap on the real TPU chip.
+
+Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h]
+        (defaults: logN=11, radix=16, h=8)
+
+Pipeline: keygen/encode/setup run EAGERLY ON CPU (eager dispatch over
+the TPU tunnel is pathological — docs/performance.md), all device state
+is pulled back to numpy, then jax.jit(bootstrap-chain) compiles the
+ENTIRE refresh (ModRaise → factored CoeffToSlot → batched sine EvalMod
+with arcsine correction → factored SlotToCoeff) into ONE XLA program
+for the TPU. Timing is the chained-jit slope (bootstrap → re-exhaust →
+bootstrap) so dispatch/transfer constants cancel.
+
+The parameter sets here are performance/correctness demos in the spirit
+of the reference's toy rings — the deep tower at these N is far below
+128-bit security; production deployments would move to N ≥ 2^15 with
+the same code paths.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 11
+    radix = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    h = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    import jax
+    import jax.numpy as jnp
+    import toyfhe_tpu as F
+    from toyfhe_tpu.core import bootstrap as B
+    from fractions import Fraction
+
+    n = 1 << logn
+    d = n // 2
+    K = (1 + h) / 2 + 1.5
+    deg = int(2 * np.pi * K) + 22
+    L = 24                                    # levels + base
+    cpu = jax.devices("cpu")[0]
+
+    t0 = time.time()
+    with jax.default_device(cpu):
+        ring = F.make_rns_ring(n, (30,) * (L + 1))   # + special prime
+        params = F.ModulusRaised(
+            F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=h))
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        kp = F.keygen(params, ks[0])
+        ctx = B.setup_bootstrap(ks[1], kp.priv, K=K, deg=deg, radix=radix,
+                                arcsin=True)
+        rng = np.random.default_rng(3)
+        vals = (rng.uniform(-1, 1, d) + 1j * rng.uniform(-1, 1, d)) * 0.7
+        c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                           Fraction(2) ** 27), ks[2])
+        while c.ring.nlimbs > 1:
+            c = F.ct_modswitch_drop(c)
+    print(f"setup (cpu): {time.time()-t0:.0f}s  N={n} d={d} L={L} "
+          f"radix={radix} h={h} K={K} deg={deg} "
+          f"rotkeys={len(ctx.gks.keys)}", flush=True)
+
+    # decouple from CPU commitment so jit dispatches to the default
+    # (TPU) backend and transfers inputs once
+    host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    ctx_h, c_h = host(ctx), host(c)
+
+    def exhaust(ct):
+        from toyfhe_tpu.core import rlwe
+        while ct.ring.nlimbs > 1:
+            ct = rlwe.ct_modswitch_drop(ct)
+        return ct
+
+    def chain(kreps):
+        def f(ctx_, c_):
+            out = B.bootstrap(ctx_, c_)
+            for _ in range(kreps - 1):
+                out = B.bootstrap(ctx_, exhaust(out))
+            return out
+        return jax.jit(f)
+
+    t0 = time.time()
+    f1 = chain(1)
+    lowered = f1.lower(ctx_h, c_h)
+    print(f"trace: {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    comp1 = lowered.compile()
+    print(f"compile: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    out = comp1(ctx_h, c_h)
+    sync = np.asarray(out.cs[0].dual if out.cs[0].dual is not None
+                      else out.cs[0].primal)
+    print(f"run1 (incl transfer): {time.time()-t0:.1f}s", flush=True)
+
+    # slope: K=3 vs K=1 chained refreshes
+    comp3 = chain(3).lower(ctx_h, c_h).compile()
+    times = {1: [], 3: []}
+    for r in range(5):
+        for kreps, comp in (((1, comp1), (3, comp3)) if r % 2 == 0
+                            else ((3, comp3), (1, comp1))):
+            t0 = time.time()
+            o = comp(ctx_h, c_h)
+            np.asarray(o.cs[0].dual if o.cs[0].dual is not None
+                       else o.cs[0].primal)
+            times[kreps].append(time.time() - t0)
+    slope = (min(times[3]) - min(times[1])) / 2
+    print(f"bootstrap wall: {slope*1e3:.1f} ms "
+          f"(min1={min(times[1]):.3f}s min3={min(times[3]):.3f}s)",
+          flush=True)
+
+    # correctness: decrypt on CPU
+    with jax.default_device(cpu):
+        got = F.decrypt(kp, host(out))
+    err = float(np.max(np.abs(got - vals)))
+    print(json.dumps({
+        "metric": f"ckks_bootstrap_ms_n2^{logn}",
+        "value": round(slope * 1e3, 1), "unit": "ms",
+        "out_levels": out.ring.nlimbs, "max_err": err,
+        "backend": jax.default_backend()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

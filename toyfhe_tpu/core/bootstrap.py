@@ -49,6 +49,7 @@ import math
 from fractions import Fraction
 from typing import Sequence
 
+import jax
 import numpy as np
 
 from . import ckks_encoding as CE
@@ -194,6 +195,95 @@ def slot_to_coeff(gks: GaloisKeys, c_lo: CipherText, c_hi: CipherText,
     U = decode_matrix(n)
     return rlwe.ct_add(linear_transform(gks, c_lo, U[:, :h] * factor),
                        linear_transform(gks, c_hi, U[:, h:] * factor))
+
+
+# ---------------------------------------------------------------------------
+# Factored (special-FFT) CoeffToSlot / SlotToCoeff — production-N path
+# ---------------------------------------------------------------------------
+#
+# The dense BSGS transforms above need d = N/2 plaintext diagonals per
+# matrix — gigabytes of constants at production N. core/sfft.py factors
+# the transform into log_radix(d) sparse butterfly levels; here each
+# level is applied with a generalized BSGS over its diagonal set, and
+# the four CoeffToSlot chains (resp. two SlotToCoeff chains) ride ONE
+# stacked ciphertext so every rotation/keyswitch is shared.
+
+def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
+                            ) -> CipherText:
+    """Enc(v) → Enc(M·v) for M given as {offset: vec[..., d]} diagonals
+    (vec leading axes broadcast against the ciphertext batch). BSGS with
+    gap-aware step splitting (sfft.bsgs_split_offsets). Consumes one
+    level; rescale after."""
+    from . import sfft as SF
+
+    d = c.ring.n // 2
+    groups = SF.bsgs_split_offsets(diags.keys(), d)
+    baby = {}
+    out = None
+    for g, items in sorted(groups.items()):
+        inner = None
+        for b, off in items:
+            vec = np.asarray(diags[off], dtype=np.complex128)
+            if not np.any(vec):
+                continue
+            if b not in baby:
+                baby[b] = rotate_steps(gks, c, b)
+            term_vec = np.roll(vec, g, axis=-1)          # rot_{−g}(diag)
+            if vec.ndim == 1:
+                term = mul_plain_vector(baby[b], term_vec)
+            else:
+                term = CE.mul_plain_vectors(baby[b], term_vec)
+            inner = term if inner is None else rlwe.ct_add(inner, term)
+        if inner is None:
+            continue
+        outer = rotate_steps(gks, inner, g)
+        out = outer if out is None else rlwe.ct_add(out, outer)
+    if out is None:
+        raise ValueError("all-zero diagonal set")
+    return out
+
+
+def _stack_level(chains, i: int, d: int) -> dict:
+    """Batch the i-th level of several chains into {offset: vec[B, d]}
+    (missing diagonals are zero)."""
+    levels = [chain[i] for chain in chains]
+    offsets = sorted(set().union(*[l.keys() for l in levels]))
+    z = np.zeros(d, dtype=np.complex128)
+    return {o: np.stack([np.asarray(l.get(o, z)) for l in levels])
+            for o in offsets}
+
+
+def coeff_to_slot_factored(gks: GaloisKeys, gk_conj, c: CipherText, plan):
+    """Factored CoeffToSlot: (P·lo, P·hi) in bit-reversed coefficient
+    order — the permutation is never applied; SlotToCoeff undoes it
+    (EvalMod between them is pointwise). Consumes plan.nlevels levels.
+
+    One batch-4 ciphertext [c, c̄, c, c̄] carries all four chains."""
+    cbar = conjugate(gk_conj, c)
+    x = rlwe.ct_stack([c, cbar, c, cbar])
+    for i in range(plan.nlevels):
+        diags = _stack_level(plan.c2s_chains, i, plan.d)
+        x = rlwe.ct_rescale(_linear_transform_diags(gks, x, diags))
+    lo = rlwe.ct_add(rlwe.ct_index(x, 0), rlwe.ct_index(x, 1))
+    hi = rlwe.ct_add(rlwe.ct_index(x, 2), rlwe.ct_index(x, 3))
+    return lo, hi
+
+
+def slot_to_coeff_factored(gks: GaloisKeys, c_lo: CipherText,
+                           c_hi: CipherText, plan, factor: float = 1.0
+                           ) -> CipherText:
+    """Factored SlotToCoeff on bit-reversed-slot inputs; ``factor`` is
+    folded into the first level's diagonals. Batch-2 [lo, hi]."""
+    from . import sfft as SF
+
+    x = rlwe.ct_stack([c_lo, c_hi])
+    chains = plan.s2c_chains
+    for i in range(plan.nlevels):
+        diags = _stack_level(chains, i, plan.d)
+        if i == 0 and factor != 1.0:
+            diags = {k: v * factor for k, v in diags.items()}
+        x = rlwe.ct_rescale(_linear_transform_diags(gks, x, diags))
+    return rlwe.ct_add(rlwe.ct_index(x, 0), rlwe.ct_index(x, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -430,30 +520,77 @@ class BootstrapContext:
 
     ``K`` must bound the ModRaise overflow: with a sparse ternary secret
     of hamming weight h, K ≥ (1 + h)/2 + 1. ``deg`` is the sine fit
-    degree (decay sets in past 2πK, so ~2πK + 15 is comfortable)."""
+    degree (decay sets in past 2πK, so ~2πK + 15 is comfortable).
+
+    Registered as a pytree (keys are leaves, the plan is static aux), so
+    ``jax.jit(bootstrap)`` compiles the ENTIRE refresh — ModRaise,
+    CoeffToSlot, EvalMod, SlotToCoeff — into one XLA program."""
 
     ek: object
     gks: GaloisKeys
     gk_conj: object
     K: float = 5.0
     deg: int = 46
+    plan: object = None                # SfftPlan → factored transforms
+    arcsin: bool = False               # cubic arcsine correction
 
     def __post_init__(self):
         self.cheb = sine_cheb_coeffs(self.K, self.deg)
 
 
-def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46
+jax.tree_util.register_pytree_node(
+    BootstrapContext,
+    lambda ctx: ((ctx.ek, ctx.gks, ctx.gk_conj),
+                 (ctx.K, ctx.deg, ctx.plan, ctx.arcsin)),
+    lambda aux, ch: BootstrapContext(ek=ch[0], gks=ch[1], gk_conj=ch[2],
+                                     K=aux[0], deg=aux[1], plan=aux[2],
+                                     arcsin=aux[3]))
+
+
+def _arcsin_correct(ek, s: CipherText) -> CipherText:
+    """First arcsine term: EvalMod's sine gives s = sin(2πε)/2π; the
+    message is ε ≈ s + (2π)²/6 · s³, improving the intrinsic modular-
+    reduction error from O(ε³) to O(ε⁵). Costs 2 ct×ct levels."""
+    s2 = _mul_ct(ek, s, s)
+    s3 = _mul_ct(ek, s2, s)
+    c3 = (2.0 * math.pi) ** 2 / 6.0
+    t3 = _plain_term(s3, c3, s3.ring.nlimbs - 1, s3.enc.scale)
+    t1 = CE.ct_to(s, t3.ring.nlimbs, t3.enc.scale)
+    return rlwe.ct_add(t1, t3)
+
+
+def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
+                    radix: int = 0, arcsin: bool = False
                     ) -> BootstrapContext:
     """Generate the rotation/conjugation/relinearization keys and the
-    EvalMod polynomial for :func:`bootstrap`."""
+    EvalMod polynomial for :func:`bootstrap`.
+
+    ``radix`` = 0: dense BSGS CoeffToSlot/SlotToCoeff (O(√d) keys, ONE
+    level per phase, d plaintext diagonals — fine for small rings).
+    ``radix`` ≥ 2: special-FFT factored transforms (core/sfft.py) —
+    log_radix(d) levels per phase but only O(radix·log) diagonals and
+    O(√radix·log) rotation keys; the production-N configuration."""
     import jax
 
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k3 = jax.random.split(rng, 3)
     n = priv.params.ring_key.n
-    bs, gs = bsgs_split(n // 2)
-    gks, gk_conj = keygen_bootstrap_keys(k1, priv, bs, gs)
+    plan = None
+    if radix:
+        from . import sfft as SF
+        plan = SF.SfftPlan(n, radix)
+        steps = sorted(plan.rotation_steps())
+        elements = [galois_element_for_steps(n, -s) for s in steps]
+        ks = jax.random.split(k1, max(1, len(elements)))
+        keys = [rlwe.keygen_galois(k, priv, galois_element=e)
+                for k, e in zip(ks, elements)]
+        gks = GaloisKeys(keys)
+        gk_conj = rlwe.keygen_galois(k3, priv, galois_element=2 * n - 1)
+    else:
+        bs, gs = bsgs_split(n // 2)
+        gks, gk_conj = keygen_bootstrap_keys(k1, priv, bs, gs)
     ek = rlwe.keygen_eval_mult(k2, priv)
-    return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg)
+    return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg,
+                            plan=plan, arcsin=arcsin)
 
 
 def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
@@ -474,9 +611,19 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
     q0 = c.ring.modulus
     scale = Fraction(c.enc.scale)
     cr = CE.retag(mod_raise(c), q0)
-    lo, hi = coeff_to_slot(ctx.gks, ctx.gk_conj, cr)
-    both = rlwe.ct_stack([rlwe.ct_rescale(lo), rlwe.ct_rescale(hi)])
+    if ctx.plan is not None:
+        lo, hi = coeff_to_slot_factored(ctx.gks, ctx.gk_conj, cr, ctx.plan)
+    else:
+        lo, hi = coeff_to_slot(ctx.gks, ctx.gk_conj, cr)
+        lo, hi = rlwe.ct_rescale(lo), rlwe.ct_rescale(hi)
+    both = rlwe.ct_stack([lo, hi])
     ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K)
+    if ctx.arcsin:
+        ev = _arcsin_correct(ctx.ek, ev)
     lo2, hi2 = rlwe.ct_index(ev, 0), rlwe.ct_index(ev, 1)
+    if ctx.plan is not None:
+        # factored S2C rescales internally after every level
+        return slot_to_coeff_factored(ctx.gks, lo2, hi2, ctx.plan,
+                                      factor=float(q0 / scale))
     return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2,
                                          factor=float(q0 / scale)))

@@ -245,6 +245,22 @@ def mul_plain_vector(c: CipherText, vec) -> CipherText:
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
 
 
+def mul_plain_vectors(c: CipherText, vecs) -> CipherText:
+    """Batched slot-vector multiply: ``vecs[B, d]`` aligns with a
+    batch-B ciphertext's leading axis (one plaintext per batch element,
+    all at the ciphertext's scale). The factored bootstrap transforms
+    use this to push four transform chains through ONE stacked
+    ciphertext, sharing every rotation/keyswitch."""
+    import jax.numpy as jnp
+
+    scale = _ct_scale(c)
+    vecs = np.asarray(vecs, dtype=np.complex128)
+    pes = [ckks_encode(c.ring, v, scale).primal for v in vecs]
+    pe = RingElt(primal=jnp.stack(pes, axis=0))
+    cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
+
+
 def add_plain(c: CipherText, vals) -> CipherText:
     """c +ₚ scalar-or-vector broadcast (ckksencoding.jl:115-124)."""
     scale = _ct_scale(c)

@@ -49,6 +49,12 @@ class RingContext:
         self._children: dict = {}
         self._rescale_cache: dict = {}
         self._galois_cache: dict = {}
+        # canonicalization: derived towers are cached on the ROOT ring by
+        # absolute limb indices, so e.g. drop_last() of a special-prime-
+        # expanded tower IS the original ciphertext tower (identity
+        # equality is what jit static args and ct_stack compare).
+        self._root: "RingContext" = self
+        self._root_indices = tuple(range(len(self.primes)))
 
     # ---- identity hashing for jit static args ----
     def __hash__(self):
@@ -75,11 +81,18 @@ class RingContext:
 
     # ---- derived towers (crtselect / drop_last, crt.jl:185-213) ----
     def select(self, which: Sequence[int]) -> "RingContext":
-        key = tuple(int(i) for i in which)
-        if key not in self._children:
-            self._children[key] = RingContext(
-                self.n, [self.primes[i] for i in key], [self.psis[i] for i in key])
-        return self._children[key]
+        key = tuple(self._root_indices[int(i)] for i in which)
+        root = self._root
+        if key == root._root_indices:
+            return root
+        if key not in root._children:
+            child = RingContext(
+                self.n, [root.primes[i] for i in key],
+                [root.psis[i] for i in key])
+            child._root = root
+            child._root_indices = key
+            root._children[key] = child
+        return root._children[key]
 
     def drop_last(self) -> "RingContext":
         return self.select(range(self.nlimbs - 1))
