@@ -239,6 +239,26 @@ def test_factored_bootstrap(deep_mr):
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
 
 
+def test_double_angle_bootstrap(deep_mr):
+    """Double-angle EvalMod: degree-24 cosine seed + 2 squarings replaces
+    the degree-46 sine (host composition error 4.5e-10 vs 7.1e-6), so
+    the refresh error is dominated by encryption noise, not the fit."""
+    params, kp, ctx0, k = deep_mr
+    ctx = B.BootstrapContext(ek=ctx0.ek, gks=ctx0.gks, gk_conj=ctx0.gk_conj,
+                             K=5.0, deg=24, plan=ctx0.plan, arcsin=True,
+                             double_angle=2)
+    rng = np.random.default_rng(3)
+    H = N // 2
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 6
+    np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
+
+
 def test_eval_poly(setup):
     """Homomorphic Horner: degree-5 odd sine approximation on [-1, 1]."""
     ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup

@@ -514,13 +514,30 @@ def sine_cheb_coeffs(K: float, deg: int) -> np.ndarray:
         lambda y: np.sin(2 * np.pi * K * y) / (2 * np.pi), deg)
 
 
+def cos_cheb_coeffs(K: float, deg: int, r: int) -> np.ndarray:
+    """Chebyshev fit of g(y) = cos((2πKy − π/2)/2^r) on [−1, 1] — the
+    double-angle EvalMod seed: applying c ← 2c² − 1 to g(y) r times
+    yields cos(2πKy − π/2) = sin(2πKy). The argument range shrinks by
+    2^r, so the degree needed for a given accuracy drops by ~2^r — the
+    Chebyshev fit of a frequency-(K/2^r) cosine converges at degree
+    ≈ 2π·K/2^r plus a margin, vs ≈ 2π·K for the direct sine."""
+    return np.polynomial.chebyshev.chebinterpolate(
+        lambda y: np.cos((2 * np.pi * K * y - np.pi / 2) / (1 << r)), deg)
+
+
 @dataclasses.dataclass
 class BootstrapContext:
     """Keys + EvalMod plan for bootstrapping a parameter set.
 
     ``K`` must bound the ModRaise overflow: with a sparse ternary secret
-    of hamming weight h, K ≥ (1 + h)/2 + 1. ``deg`` is the sine fit
-    degree (decay sets in past 2πK, so ~2πK + 15 is comfortable).
+    of hamming weight h, K ≥ (1 + h)/2 + 1. ``deg`` is the sine/cosine
+    fit degree (direct sine needs ~2πK + 15; with ``double_angle`` = r
+    the cosine seed needs only ~2πK/2^r + 15).
+
+    ``double_angle`` = r > 0 switches EvalMod to the double-angle form:
+    eval cos((2πu − π/2)/2^r) at low degree, then r squarings
+    c ← 2c² − 1 (one level each) reach sin(2πu); the 1/(2π) is folded
+    into SlotToCoeff (or the arcsine correction) for free.
 
     Registered as a pytree (keys are leaves, the plan is static aux), so
     ``jax.jit(bootstrap)`` compiles the ENTIRE refresh — ModRaise,
@@ -533,18 +550,22 @@ class BootstrapContext:
     deg: int = 46
     plan: object = None                # SfftPlan → factored transforms
     arcsin: bool = False               # cubic arcsine correction
+    double_angle: int = 0              # r: cos seed + r squarings
 
     def __post_init__(self):
-        self.cheb = sine_cheb_coeffs(self.K, self.deg)
+        if self.double_angle:
+            self.cheb = cos_cheb_coeffs(self.K, self.deg, self.double_angle)
+        else:
+            self.cheb = sine_cheb_coeffs(self.K, self.deg)
 
 
 jax.tree_util.register_pytree_node(
     BootstrapContext,
     lambda ctx: ((ctx.ek, ctx.gks, ctx.gk_conj),
-                 (ctx.K, ctx.deg, ctx.plan, ctx.arcsin)),
+                 (ctx.K, ctx.deg, ctx.plan, ctx.arcsin, ctx.double_angle)),
     lambda aux, ch: BootstrapContext(ek=ch[0], gks=ch[1], gk_conj=ch[2],
                                      K=aux[0], deg=aux[1], plan=aux[2],
-                                     arcsin=aux[3]))
+                                     arcsin=aux[3], double_angle=aux[4]))
 
 
 def _arcsin_correct(ek, s: CipherText) -> CipherText:
@@ -559,8 +580,23 @@ def _arcsin_correct(ek, s: CipherText) -> CipherText:
     return rlwe.ct_add(t1, t3)
 
 
+def _arcsin_correct_from_sin(ek, v: CipherText) -> CipherText:
+    """Arcsine correction taking the UNNORMALIZED sine v = sin(2πε)
+    (the double-angle EvalMod output): ε ≈ v/(2π) + v³/(12π), with the
+    1/(2π) folded into the correction's plain multiplies so the
+    double-angle path never spends a level on normalization alone."""
+    v2 = _mul_ct(ek, v, v)
+    v3 = _mul_ct(ek, v2, v)
+    t3 = _plain_term(v3, 1.0 / (12.0 * math.pi),
+                     v3.ring.nlimbs - 1, v3.enc.scale)
+    t1 = _plain_term(v, 1.0 / (2.0 * math.pi),
+                     t3.ring.nlimbs, t3.enc.scale)
+    return rlwe.ct_add(t1, t3)
+
+
 def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
-                    radix: int = 0, arcsin: bool = False
+                    radix: int = 0, arcsin: bool = False,
+                    double_angle: int = 0
                     ) -> BootstrapContext:
     """Generate the rotation/conjugation/relinearization keys and the
     EvalMod polynomial for :func:`bootstrap`.
@@ -590,7 +626,8 @@ def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
         gks, gk_conj = keygen_bootstrap_keys(k1, priv, bs, gs)
     ek = rlwe.keygen_eval_mult(k2, priv)
     return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg,
-                            plan=plan, arcsin=arcsin)
+                            plan=plan, arcsin=arcsin,
+                            double_angle=double_angle)
 
 
 def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
@@ -618,12 +655,19 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
         lo, hi = rlwe.ct_rescale(lo), rlwe.ct_rescale(hi)
     both = rlwe.ct_stack([lo, hi])
     ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K)
-    if ctx.arcsin:
+    factor = float(q0 / scale)
+    if ctx.double_angle:
+        for _ in range(ctx.double_angle):      # cos(θ) → cos(2^r·θ)
+            ev = CE.add_plain(CE.mul_int(_mul_ct(ctx.ek, ev, ev), 2), -1.0)
+        if ctx.arcsin:                         # ev = sin(2πu); ε via arcsin
+            ev = _arcsin_correct_from_sin(ctx.ek, ev)
+        else:                                  # fold 1/(2π) into S2C
+            factor /= 2.0 * math.pi
+    elif ctx.arcsin:
         ev = _arcsin_correct(ctx.ek, ev)
     lo2, hi2 = rlwe.ct_index(ev, 0), rlwe.ct_index(ev, 1)
     if ctx.plan is not None:
         # factored S2C rescales internally after every level
         return slot_to_coeff_factored(ctx.gks, lo2, hi2, ctx.plan,
-                                      factor=float(q0 / scale))
-    return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2,
-                                         factor=float(q0 / scale)))
+                                      factor=factor)
+    return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2, factor=factor))
