@@ -259,6 +259,57 @@ def test_double_angle_bootstrap(deep_mr):
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
 
 
+def test_jit_bootstrap(deep_mr):
+    """The ENTIRE refresh — ModRaise, CoeffToSlot, EvalMod, SlotToCoeff
+    — compiles into ONE XLA program: BootstrapContext and CipherText are
+    pytrees, rings/plans/scales are static aux. jit output must match
+    the eager path bit-for-bit (same ops, same order)."""
+    params, kp, ctx0, k = deep_mr
+    ctx = B.BootstrapContext(ek=ctx0.ek, gks=ctx0.gks, gk_conj=ctx0.gk_conj,
+                             K=5.0, deg=24, plan=ctx0.plan, arcsin=True,
+                             double_angle=2)
+    rng = np.random.default_rng(3)
+    H = N // 2
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    eager = B.bootstrap(ctx, c)
+    jitted = jax.jit(B.bootstrap)(ctx, c)
+    assert jitted.ring is eager.ring
+    assert jitted.enc.scale == eager.enc.scale
+    for a, b in zip(eager.cs, jitted.cs):
+        ap = np.asarray(ringops.ensure_primal(eager.ring, a).primal)
+        bp = np.asarray(ringops.ensure_primal(eager.ring, b).primal)
+        np.testing.assert_array_equal(ap, bp)
+
+
+def test_bootstrap_n128():
+    """Factored bootstrap at N=128 (two butterfly levels per phase,
+    radix 16): the production-N shape where dense BSGS would already
+    need 64 diagonals per matrix."""
+    n = 128
+    ring = F.make_rns_ring(n, (30,) * 23)
+    params = F.ModulusRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=8))
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=6.0, deg=30, radix=16,
+                            arcsin=True, double_angle=2)
+    assert ctx.plan.nlevels == 2
+    rng = np.random.default_rng(3)
+    h = n // 2
+    vals = (rng.uniform(-1, 1, h) + 1j * rng.uniform(-1, 1, h)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), ks[2])
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 5
+    np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=2e-3)
+
+
 def test_eval_poly(setup):
     """Homomorphic Horner: degree-5 odd sine approximation on [-1, 1]."""
     ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup
