@@ -1,0 +1,114 @@
+"""dnum-grouped hybrid key-switching (core/hybrid.py): the production
+gadget with limb-group digits fast-base-converted into a multi-special-
+prime tower. Beyond the reference, whose decompositions are per-limb or
+per-bit-window (rlwe_she.jl:327-338)."""
+
+from fractions import Fraction
+
+import jax
+import numpy as np
+import pytest
+
+import toyfhe_tpu as F
+
+
+N = 32
+H = N // 2
+SCALE = Fraction(2) ** 26
+
+
+def _setup(dnum, num_special, nq=8, seed=2):
+    # nq ct primes + num_special 30-bit raising primes
+    ring = F.make_rns_ring(N, (28,) * nq + (30,) * num_special)
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum, num_special)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    gk = F.keygen_galois(ks[2], kp.priv, steps=1)
+    rng = np.random.default_rng(7)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.8
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, SCALE),
+                  ks[3])
+    return params, kp, ek, gk, c, vals
+
+
+@pytest.mark.parametrize("dnum,k", [(4, 2), (2, 4), (8, 1)])
+def test_square_relin(dnum, k):
+    """x² with hybrid relinearization at several (dnum, num_special)
+    shapes — including the per-limb degenerate case dnum=L, k=1."""
+    params, kp, ek, gk, c, vals = _setup(dnum, k)
+    out = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    got = F.decrypt(kp, out)
+    np.testing.assert_allclose(got, vals ** 2, atol=2e-4)
+
+
+def test_rotation():
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    got = F.decrypt(kp, F.rotate(gk, c))
+    np.testing.assert_allclose(got, np.roll(vals, 1), atol=2e-4)
+
+
+def test_after_drops_cross_group():
+    """Key-switch keeps working after modswitch drops shrink the tower
+    BELOW a group boundary (the keys' ĝ_j factors are level-independent;
+    only the digit count shrinks)."""
+    params, kp, ek, gk, c, vals = _setup(4, 2, nq=8)
+    # drop 8 → 3 limbs: groups of α=2 become [q0q1, q2] — 2 digits
+    while c.ring.nlimbs > 3:
+        c = F.ct_modswitch_drop(c)
+    out = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    got = F.decrypt(kp, out)
+    np.testing.assert_allclose(got, vals ** 2, atol=2e-4)
+    rot = F.decrypt(kp, F.rotate(gk, c))
+    np.testing.assert_allclose(rot, np.roll(vals, 1), atol=2e-4)
+
+
+def test_digit_count():
+    """The whole point: dnum digits (→ dnum NTT batches), not L."""
+    from toyfhe_tpu.core import ring as R
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    exp_ring, digits = params.hybrid_decompose(c.ring, c.cs[1])
+    assert digits.shape[0] == 4                    # dnum, not L=8
+    assert exp_ring.nlimbs == c.ring.nlimbs + 2    # Q_t ∪ P
+
+
+def test_chained_muls():
+    """Three chained squarings with rescales — noise stays controlled
+    through repeated hybrid key-switches. Scale-sized (26-bit) level
+    primes keep the scale in equilibrium so precision doesn't erode."""
+    ring = F.make_rns_ring(N, (30,) + (26,) * 7 + (30,) * 2)
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 4, 2)
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    rng = np.random.default_rng(7)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.8
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, SCALE),
+                  ks[3])
+    x, expect = c, vals
+    for _ in range(3):
+        x = F.ct_rescale(F.keyswitch(ek, F.ct_mul(x, x)))
+        expect = expect ** 2
+    got = F.decrypt(kp, x)
+    np.testing.assert_allclose(got, expect, atol=2e-3)
+
+
+def test_matches_modraised_semantics():
+    """Hybrid (dnum=L, k=1) and ModulusRaised decrypt to the same values
+    on the same workload (different noise, same message)."""
+    ring = F.make_rns_ring(N, (28,) * 4 + (30,))
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.8
+    outs = []
+    for wrap in (lambda p: F.HybridRaised(p, 4, 1),
+                 lambda p: F.ModulusRaised(p)):
+        params = wrap(F.CKKSParams(ring, 0, 3.2))
+        kp = F.keygen(params, ks[0])
+        ek = F.keygen_eval_mult(ks[1], kp.priv)
+        c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, SCALE),
+                      ks[2])
+        out = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+        outs.append(F.decrypt(kp, out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+    np.testing.assert_allclose(outs[0], vals ** 2, atol=2e-4)

@@ -87,6 +87,14 @@ def test_estimator_modraised():
     assert est.precision_bits > 8
 
 
+def test_estimator_hybrid():
+    """dnum-grouped hybrid gadget."""
+    ring = F.make_rns_ring(N, (30, 26, 26, 26, 26, 26, 30, 30))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 3, 2)
+    est, measured = _pipeline(params, 9)
+    assert est.precision_bits > 8
+
+
 def test_estimator_sparse_secret():
     """Sparse ternary secret changes ‖s‖₂² in every term."""
     ring = F.make_rns_ring(N, (30, 26, 26, 26))

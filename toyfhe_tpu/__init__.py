@@ -31,6 +31,7 @@ from .core.ckks_encoding import (CKKSPlaintext, CKKSTag, make_plaintext,
                                  ckks_encode, ckks_decode, mul_plain_scalar,
                                  mul_plain_vector, add_plain)
 from .core.modraise import ModulusRaised
+from .core.hybrid import HybridRaised
 from .core.insecure import InsecureDebug
 from .core.noise import bgv_noise_budget, ckks_precision, ckks_scale_bits
 from .core.planner import plan_ckks_tower, plan_ckks_ring

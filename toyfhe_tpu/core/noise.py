@@ -152,6 +152,8 @@ def est_keyswitch(est: NoiseEstimate, c: CipherText) -> NoiseEstimate:
     wrapper divides by the special prime and adds one rescale-style
     rounding term."""
     params, ring, n = c.params, c.ring, c.ring.n
+    if getattr(params, "hybrid_decompose", None) is not None:
+        return _est_keyswitch_hybrid(est, c)
     sp = None
     q = params
     while q is not None:
@@ -173,6 +175,27 @@ def est_keyswitch(est: NoiseEstimate, c: CipherText) -> NoiseEstimate:
         eps += _slot_eps((1.0 + _secret_l2sq(params, n)) / 12.0,
                          n, c.enc.scale)
     return NoiseEstimate(est.eps + eps, est.bound)
+
+
+def _est_keyswitch_hybrid(est: NoiseEstimate, c: CipherText
+                          ) -> NoiseEstimate:
+    """dnum-grouped hybrid gadget (core/hybrid.py): digit j is the FBC
+    lift of group j, |D_j| ≤ α_j·Q_j (E[D²] ≈ α²Q²/3); the accumulator
+    divides by P, then k rounding rescales land at the ct scale."""
+    params, ring, n = c.params, c.ring, c.ring.n
+    s2 = float(_base(params).sigma) ** 2
+    a = params.alpha
+    var = 0.0
+    for j in range(params.dnum):
+        grp = ring.primes[j * a:(j + 1) * a]
+        if not grp:
+            break
+        qj = math.prod(grp)
+        var += n * (len(grp) ** 2 * qj * qj / 3.0) * s2
+    eps = _HI * math.sqrt(n * var) / (float(params.P) * float(c.enc.scale))
+    rnd = params.num_special * _slot_eps(
+        (1.0 + _secret_l2sq(params, n)) / 12.0, n, c.enc.scale)
+    return NoiseEstimate(est.eps + eps + rnd, est.bound)
 
 
 def est_rotate(est: NoiseEstimate, c: CipherText) -> NoiseEstimate:

@@ -525,7 +525,8 @@ def make_eval_key(rng, old: RingElt, new: PrivKey,
     # are generated over the full key tower. Factors are taken over the
     # decomposition ring's modulus.
     dec_ring = params.ring_cipher if _is_modraised(params) else ring
-    factors = gadget_factors(dec_ring, window)
+    hfac = getattr(params, "hybrid_factors", None)
+    factors = hfac() if hfac is not None else gadget_factors(dec_ring, window)
 
     old = R.ensure_primal(ring, old)
     comps: List[KeyComponent] = []
@@ -606,6 +607,9 @@ def keyswitch(ek, c: CipherText) -> CipherText:
     assert len(c.cs) in (2, 3)
     ring = c.ring
 
+    if getattr(params, "hybrid_decompose", None) is not None:
+        return _keyswitch_hybrid(params, ek, c)
+
     expand = getattr(params, "keyswitch_expand", None)
     contract = getattr(params, "keyswitch_contract", None)
 
@@ -655,6 +659,46 @@ def keyswitch(ek, c: CipherText) -> CipherText:
     else:
         out_ring = exp_ring
     return CipherText(c.params, (c1, c2), out_ring, enc=c.enc)
+
+
+def _keyswitch_hybrid(params, ek: KeySwitchKey, c: CipherText) -> CipherText:
+    """dnum-grouped hybrid key-switch (core/hybrid.py): digits are limb
+    GROUPS fast-base-converted into the Q_t ∪ P tower; the accumulator
+    alone is divided by P (the base components are never pre-scaled)."""
+    from ..ops import ntt as nttmod
+    from ..utils import metrics
+
+    ring = c.ring
+    exp_ring, digits = params.hybrid_decompose(ring, c.cs[-1])
+    metrics.count("keyswitch")
+    metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
+    ddual = nttmod.ntt(exp_ring.tables, digits)
+
+    key_ring = ek.ring
+    which = params.hybrid_key_limbs(exp_ring)
+    masks, maskeds = [], []
+    for comp in ek.key[:int(digits.shape[0])]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask), which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked), which)
+        masks.append(m.dual)
+        maskeds.append(md.dual)
+    masks = jnp.stack(masks, 0)
+    maskeds = jnp.stack(maskeds, 0)
+    extra = ddual.ndim - 3
+    if extra:
+        shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
+        masks = masks.reshape(shp)
+        maskeds = maskeds.reshape(shp)
+    mp = exp_ring.mp
+    acc2 = _mod_sum(modmath.mul_mod(masks, ddual, mp), mp)
+    acc1 = _mod_sum(modmath.mul_mod(maskeds, ddual, mp), mp)
+
+    out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1))
+    _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2))
+    assert out_ring is ring
+    c1 = R.add(ring, c.cs[0], a1)
+    c2 = a2 if len(c.cs) == 2 else R.add(ring, c.cs[1], a2)
+    return CipherText(c.params, (c1, c2), ring, enc=c.enc)
 
 
 def _downswitch_stack(params, ek: KeySwitchKey, target: RingContext, ndig: int):
