@@ -159,6 +159,32 @@ def test_full_bootstrap(deep):
     np.testing.assert_allclose(got, vals, atol=3e-2)
 
 
+def test_hybrid_bootstrap():
+    """Full bootstrap on the production dnum-grouped hybrid gadget
+    (core/hybrid.py): 20-limb ct tower, digits are 5 groups of 4 limbs
+    — 5 digit NTT batches per keyswitch instead of 20, keys 4× smaller.
+    Same factored transforms + arcsine EvalMod as the ModulusRaised
+    config."""
+    ring = F.make_rns_ring(N, (30,) * 25)      # 20 ct limbs + 5 specials
+    params = F.HybridRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4),
+        dnum=5, num_special=5)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=24, radix=16,
+                            arcsin=True, double_angle=2)
+    rng = np.random.default_rng(3)
+    H = N // 2
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), ks[2])
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 6
+    np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
+
+
 def test_sfft_factorization():
     """Host-side special-FFT factorization of the decode matrix is exact
     (stages, radix merging, C2S/S2C chains, halfshift link)."""
