@@ -86,6 +86,91 @@ def test_square_relin_layer_bitexact(setup):
     np.testing.assert_array_equal(np.asarray(o2), ref2)
 
 
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    N = 32
+    # 6 ct limbs + 2 raising primes; dnum=3 groups of alpha=2
+    ring = F.make_rns_ring(N, (28,) * 6 + (30, 30))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum=3,
+                            num_special=2)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    gk = F.keygen_galois(ks[2], kp.priv, steps=4)
+    scale = Fraction(2) ** 26
+    vals = np.linspace(0.5, 4.0, N // 2)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, scale), ks[3])
+    return params, kp, ek, gk, c, vals, scale
+
+
+def test_hybrid_rotate_matmul_layer_bitexact(hybrid_setup):
+    """Compiled RotateMatmulLayer on the dnum-grouped hybrid gadget is
+    bit-identical to the eager engine keyswitch (core/hybrid.py)."""
+    params, kp, ek, gk, c, vals, scale = hybrid_setup
+    ct_ring = params.ring_cipher
+    d = 4
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(d, d))
+    nrep = ct_ring.n // 2 // d
+    res = F.mul_plain_vector(c, np.tile(np.diag(W), nrep))
+    rot = c
+    diags = [np.tile(np.diag(W), nrep)]
+    for k in range(1, d):
+        rot = F.rotate(gk, rot)
+        dk = np.tile(np.diag(np.roll(W, k, axis=1)), nrep)
+        diags.append(dk)
+        res = F.ct_add(res, F.mul_plain_vector(rot, dk))
+
+    layer = L.RotateMatmulLayer(params, gk, gk.galois_element, d)
+    assert isinstance(layer.ka, L.HybridKeyArrays)
+    diag_dual = jnp.stack([
+        ringops.ensure_dual(ct_ring, F.ckks_encode(ct_ring, v.astype(complex),
+                                                   scale)).dual
+        for v in diags], 0)
+    c1p, c2p = _primal(ct_ring, c)
+    r1, r2 = layer(jnp.asarray(c1p), jnp.asarray(c2p), diag_dual)
+    ref1 = np.asarray(ringops.ensure_dual(ct_ring, res.cs[0]).dual)
+    ref2 = np.asarray(ringops.ensure_dual(ct_ring, res.cs[1]).dual)
+    np.testing.assert_array_equal(np.asarray(r1), ref1)
+    np.testing.assert_array_equal(np.asarray(r2), ref2)
+
+
+def test_hybrid_square_relin_layer_bitexact(hybrid_setup):
+    params, kp, ek, gk, c, vals, scale = hybrid_setup
+    ct_ring = params.ring_cipher
+    seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    layer = L.SquareRelinLayer(params, ek)
+    assert isinstance(layer.ka, L.HybridKeyArrays)
+    c1p, c2p = _primal(ct_ring, c)
+    o1, o2 = layer(jnp.asarray(c1p), jnp.asarray(c2p))
+    ref1 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[0]).primal)
+    ref2 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[1]).primal)
+    np.testing.assert_array_equal(np.asarray(o1), ref1)
+    np.testing.assert_array_equal(np.asarray(o2), ref2)
+
+    got = F.decrypt(kp, F.CipherText(
+        params, (F.RingElt(primal=o1), F.RingElt(primal=o2)),
+        layer.sub_ring, enc=seq.enc))
+    np.testing.assert_allclose(got.real, vals ** 2, atol=1e-3)
+
+
+def test_hybrid_layer_at_dropped_tower(hybrid_setup):
+    """Layer built at a dropped tower level (3 limbs — below the first
+    group boundary) still matches the eager engine bit-for-bit."""
+    params, kp, ek, gk, c, vals, scale = hybrid_setup
+    while c.ring.nlimbs > 3:
+        c = F.ct_modswitch_drop(c)
+    ct_ring = c.ring
+    seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    layer = L.SquareRelinLayer(params, ek, ct_ring)
+    c1p, c2p = _primal(ct_ring, c)
+    o1, o2 = layer(jnp.asarray(c1p), jnp.asarray(c2p))
+    ref1 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[0]).primal)
+    ref2 = np.asarray(ringops.ensure_primal(seq.ring, seq.cs[1]).primal)
+    np.testing.assert_array_equal(np.asarray(o1), ref1)
+    np.testing.assert_array_equal(np.asarray(o2), ref2)
+
+
 def test_fast_mnist_pipeline():
     """Compiled-layer MNIST pipeline end-to-end (small config)."""
     import jax

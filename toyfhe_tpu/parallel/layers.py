@@ -108,6 +108,155 @@ def build_modraise_key_arrays(params, ksk, ct_ring=None) -> ModRaiseKeyArrays:
         mt_ct=_mxu_tables(ct_ring.tables), mt_exp=_mxu_tables(exp_ring.tables))
 
 
+@dataclasses.dataclass
+class HybridKeyArrays:
+    """Device-ready key-switch data for a dnum-grouped HybridRaised key
+    (core/hybrid.py): digit j is the group-j residue fast-base-converted
+    into the Q_t ∪ P tower; contraction is ``num_special`` rescales."""
+
+    masks: jnp.ndarray        # (ndig, Le, N) duals at the Q_t ∪ P tower
+    maskeds: jnp.ndarray
+    groups: tuple             # ((lo, hi, ŷ-inv (a,1), consts (Le,a,1), mp_g), ...)
+    tabs_ct: dict
+    tabs_exp: dict
+    P_res: jnp.ndarray        # (Lc, 1): P mod q_j — base-component lift
+    resc: tuple               # per special step: (inv_mont (rem,1), mp_rem)
+    exp_ring: RingContext
+    ct_ring: RingContext
+    lazy: bool = False
+    mt_ct: object = None
+    mt_exp: object = None
+
+
+def build_hybrid_key_arrays(params, ksk, ct_ring=None) -> HybridKeyArrays:
+    """Extract stacked arrays from an engine KeySwitchKey under
+    HybridRaised params; reuses the engine's per-tower FBC tables."""
+    from ..ops.modmath import MontParams
+
+    ct_ring = ct_ring if ct_ring is not None else params.ring_cipher
+    exp_ring, eng_groups = params._tables(ct_ring.nlimbs)
+    key_ring = params.ring_key
+    which = params.hybrid_key_limbs(exp_ring)
+    masks, maskeds = [], []
+    for comp in ksk.key[:len(eng_groups)]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
+                             which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked),
+                              which)
+        masks.append(m.dual)
+        maskeds.append(md.dual)
+    groups = tuple(
+        (lo, hi, jnp.asarray(inv), jnp.asarray(consts),
+         MontParams.make(ct_ring.primes[lo:hi]))
+        for (lo, hi), inv, consts in eng_groups)
+    P_res = np.array([[params.P % p] for p in ct_ring.primes],
+                     dtype=np.uint64).astype(np.uint32)
+    resc = []
+    cur = list(exp_ring.primes)
+    for _ in range(params.num_special):
+        drop, cur = cur[-1], cur[:-1]
+        resc.append((jnp.asarray(_mont_col([pow(drop, -1, p) for p in cur],
+                                           cur)),
+                     MontParams.make(cur)))
+    return HybridKeyArrays(
+        masks=jnp.stack(masks, 0), maskeds=jnp.stack(maskeds, 0),
+        groups=groups,
+        tabs_ct=full_table_pytree(ct_ring.tables),
+        tabs_exp=full_table_pytree(exp_ring.tables),
+        P_res=jnp.asarray(P_res), resc=tuple(resc),
+        exp_ring=exp_ring, ct_ring=ct_ring,
+        lazy=ct_ring.tables.lazy_ok and exp_ring.tables.lazy_ok,
+        mt_ct=_mxu_tables(ct_ring.tables), mt_exp=_mxu_tables(exp_ring.tables))
+
+
+def build_key_arrays(params, ksk, ct_ring=None):
+    """Dispatch on the key-switch modifier: HybridRaised → grouped FBC
+    digits; ModulusRaised → per-limb/windowed digits + one special."""
+    if getattr(params, "hybrid_decompose", None) is not None:
+        return build_hybrid_key_arrays(params, ksk, ct_ring)
+    return build_modraise_key_arrays(params, ksk, ct_ring)
+
+
+def _hybrid_digits(ka: HybridKeyArrays, xp):
+    """Digit duals (..., ndig, Le, N): group residues fast-base-converted
+    into the expanded tower (core/hybrid.py::hybrid_decompose,
+    device-compiled)."""
+    mp_exp = _mp_full(ka.tabs_exp)
+    mp3 = mp_exp.expand()
+    digs = []
+    for lo, hi, inv, consts, mp_g in ka.groups:
+        y = modmath.mont_mul(xp[..., lo:hi, :], inv, mp_g)
+        prod = modmath.mont_mul(y[..., None, :, :], consts, mp3)
+        digs.append(modmath.mod_sum(prod, mp_exp, axis=-2))
+    return _ntt_t(jnp.stack(digs, axis=-3), ka.tabs_exp, ka.lazy, ka.mt_exp)
+
+
+def _rescale_chain(x, resc):
+    """num_special exact rounding rescales (divide by P limb by limb)."""
+    for inv, mp_rem in resc:
+        last = modmath.umod(x[..., -1:, :], mp_rem.p)
+        x = modmath.mont_mul(modmath.sub_mod(x[..., :-1, :], last, mp_rem),
+                             inv, mp_rem)
+    return x
+
+
+def _hybrid_keyswitch(ka: HybridKeyArrays, c1p, c2p):
+    """Hybrid keyswitch of a 2-component primal ciphertext. c1 is folded
+    through the accumulator pre-scaled by P — bit-identical to the
+    engine's contract-then-add since P ≡ 0 mod every special prime, so
+    each rescale step sees exactly the accumulator's residue."""
+    mp_ct = _mp_full(ka.tabs_ct)
+    mp_exp = _mp_full(ka.tabs_exp)
+    n = c1p.shape[-1]
+    k = ka.exp_ring.nlimbs - ka.ct_ring.nlimbs
+    ddual = _hybrid_digits(ka, c2p)
+    acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp),
+                           mp_exp, -3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp),
+                           mp_exp, -3)
+    c1d = _ntt_t(modmath.mul_mod(c1p, ka.P_res, mp_ct), ka.tabs_ct, ka.lazy,
+                 ka.mt_ct)
+    zero = jnp.zeros(c1d.shape[:-2] + (k, n), dtype=jnp.uint32)
+    r1 = modmath.add_mod(jnp.concatenate([c1d, zero], -2), acc1, mp_exp)
+    r1p = _intt_t(r1, ka.tabs_exp, ka.lazy, ka.mt_exp)
+    r2p = _intt_t(acc2, ka.tabs_exp, ka.lazy, ka.mt_exp)
+    return _rescale_chain(r1p, ka.resc), _rescale_chain(r2p, ka.resc)
+
+
+def _hybrid_keyswitch_pair(ka: HybridKeyArrays, d1_dual, d2_dual, d3p):
+    """Hybrid keyswitch for a 3-component ct (relinearization): digits
+    from d3 primal; d1/d2 dual folded through the P-scaled channel."""
+    mp_ct = _mp_full(ka.tabs_ct)
+    mp_exp = _mp_full(ka.tabs_exp)
+    n = d3p.shape[-1]
+    k = ka.exp_ring.nlimbs - ka.ct_ring.nlimbs
+    ddual = _hybrid_digits(ka, d3p)
+    acc1 = modmath.mod_sum(modmath.mul_mod(ddual, ka.maskeds, mp_exp),
+                           mp_exp, -3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(ddual, ka.masks, mp_exp),
+                           mp_exp, -3)
+    zero = jnp.zeros(d1_dual.shape[:-2] + (k, n), dtype=jnp.uint32)
+    e1 = jnp.concatenate([modmath.mul_mod(d1_dual, ka.P_res, mp_ct), zero], -2)
+    e2 = jnp.concatenate([modmath.mul_mod(d2_dual, ka.P_res, mp_ct), zero], -2)
+    r1p = _intt_t(modmath.add_mod(e1, acc1, mp_exp), ka.tabs_exp, ka.lazy,
+                  ka.mt_exp)
+    r2p = _intt_t(modmath.add_mod(e2, acc2, mp_exp), ka.tabs_exp, ka.lazy,
+                  ka.mt_exp)
+    return _rescale_chain(r1p, ka.resc), _rescale_chain(r2p, ka.resc)
+
+
+def _keyswitch_2(ka, c1p, c2p):
+    if isinstance(ka, HybridKeyArrays):
+        return _hybrid_keyswitch(ka, c1p, c2p)
+    return _modraise_keyswitch(ka, c1p, c2p)
+
+
+def _keyswitch_pair(ka, d1_dual, d2_dual, d3p):
+    if isinstance(ka, HybridKeyArrays):
+        return _hybrid_keyswitch_pair(ka, d1_dual, d2_dual, d3p)
+    return _modraise_keyswitch_pair(ka, d1_dual, d2_dual, d3p)
+
+
 def _gadget_digits(ka: ModRaiseKeyArrays, xp):
     """Digit duals [(..., ndig, Le, N)] for the unified gadget
     (rlwe.gadget_decompose semantics, device-vectorized)."""
@@ -169,7 +318,7 @@ class RotateMatmulLayer:
     """
 
     def __init__(self, params, gk, galois_element: int, d: int, ct_ring=None):
-        self.ka = build_modraise_key_arrays(params, gk.key, ct_ring)
+        self.ka = build_key_arrays(params, gk.key, ct_ring)
         self.src, self.neg = self.ka.ct_ring.galois_tables(galois_element)
         self.d = d
         self._fn = jax.jit(self._build())
@@ -195,7 +344,7 @@ class RotateMatmulLayer:
                 r1p, r2p, res1, res2 = carry
                 g1 = galois(r1p, mp)
                 g2 = galois(r2p, mp)
-                o1, o2 = _modraise_keyswitch(ka, g1, g2)
+                o1, o2 = _keyswitch_2(ka, g1, g2)
                 od1 = _ntt_t(o1, ka.tabs_ct, ka.lazy, ka.mt_ct)
                 od2 = _ntt_t(o2, ka.tabs_ct, ka.lazy, ka.mt_ct)
                 dk = jax.lax.dynamic_index_in_dim(diag_dual, k, 0,
@@ -220,7 +369,7 @@ class SquareRelinLayer:
     dropped tower (Lc−1, N) with scale²/q_last."""
 
     def __init__(self, params, ek, ct_ring=None):
-        self.ka = build_modraise_key_arrays(params, ek.key, ct_ring)
+        self.ka = build_key_arrays(params, ek.key, ct_ring)
         ct = self.ka.ct_ring
         qk = ct.primes[-1]
         sub = ct.drop_last()
@@ -244,7 +393,7 @@ class SquareRelinLayer:
             d3p = _intt_t(d3, ka.tabs_ct, ka.lazy, ka.mt_ct)
             # relinearize (d1, d2) += keyswitch(d3); d1/d2 play the c1/c2
             # roles but both carry data — fold d2 through the mask channel
-            o1, o2 = _modraise_keyswitch_pair(ka, d1, d2, d3p)
+            o1, o2 = _keyswitch_pair(ka, d1, d2, d3p)
             # final data-prime rescale
             mp_sub = _sub_mp(mp)
 
