@@ -60,6 +60,56 @@ def test_sharded_step_matches_sequential(setup):
         assert np.all(out[i][:, -1, :] == 0)                  # dropped limb zeroed
 
 
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    N, B = 64, 4
+    # 6 ct limbs (3 groups of 2) + 2 replicated raising primes
+    ring = F.make_rns_ring(N, (28,) * 6 + (30, 30))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum=3,
+                            num_special=2)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    vals = np.linspace(0.1, 1.0, N // 2)
+    scale = Fraction(2) ** 26
+    cts = [F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals * (i + 1),
+                                          scale), k)
+           for i, k in enumerate(jax.random.split(ks[2], B))]
+    return params, kp, ek, cts, vals, scale
+
+
+def test_hybrid_sharded_step_matches_sequential(hybrid_setup):
+    """rp-sharded hybrid (dnum-grouped) square→relin→rescale is
+    bit-identical to the eager engine — the FBC ŷ premultiply is
+    shard-local, specials are replicated, same two collective sites as
+    the per-limb step with dnum digit batches instead of L."""
+    params, kp, ek, cts, vals, scale = hybrid_setup
+    ring = params.ring_cipher
+    # 2-limb shards: the size-2 limb groups straddle shard boundaries
+    mesh = S.make_mesh(n_rp=2, n_dp=4)
+    step, place = pops.make_hybrid_sharded_step(mesh, params, ek)
+    batch = jnp.stack([_ct_duals(ring, c) for c in cts], 0)
+    out = np.asarray(step(place(batch)))
+
+    for i, c in enumerate(cts):
+        seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+        seq_duals = np.asarray(_ct_duals(seq.ring, seq))
+        np.testing.assert_array_equal(out[i][:, :ring.nlimbs - 1, :],
+                                      seq_duals)
+        assert np.all(out[i][:, -1, :] == 0)
+
+
+def test_hybrid_single_chip_step_matches(hybrid_setup):
+    params, kp, ek, cts, vals, scale = hybrid_setup
+    ring = params.ring_cipher
+    step, place = pops.make_hybrid_sharded_step(None, params, ek)
+    batch = jnp.stack([_ct_duals(ring, c) for c in cts], 0)
+    out = np.asarray(step(place(batch)))
+    seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(cts[0], cts[0])))
+    np.testing.assert_array_equal(out[0][:, :ring.nlimbs - 1, :],
+                                  np.asarray(_ct_duals(seq.ring, seq)))
+
+
 def test_sharded_step_decrypts(setup):
     ring, params, kp, ek, cts, vals, scale = setup
     mesh = S.make_mesh(n_rp=4, n_dp=2)

@@ -1,7 +1,10 @@
 """Production-N CKKS bootstrap on the real TPU chip.
 
-Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h]
-        (defaults: logN=11, radix=16, h=8)
+Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum]
+        (defaults: logN=11, radix=16, h=8, dnum=0)
+        dnum=0 → ModulusRaised per-limb gadget, one special prime;
+        dnum>0 → HybridRaised dnum-grouped gadget (core/hybrid.py) with
+        ceil(L/dnum)+1 raising primes.
 
 Pipeline: keygen/encode/setup run EAGERLY ON CPU (eager dispatch over
 the TPU tunnel is pathological — docs/performance.md), all device state
@@ -31,6 +34,7 @@ def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 11
     radix = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    dnum = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     import jax
     import jax.numpy as jnp
@@ -47,9 +51,18 @@ def main():
 
     t0 = time.time()
     with jax.default_device(cpu):
-        ring = F.make_rns_ring(n, (30,) * (L + 1))   # + special prime
-        params = F.ModulusRaised(
-            F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=h))
+        if dnum:
+            alpha = -(-L // dnum)
+            k = alpha + 1                 # P > alpha * Q_group headroom
+            ring = F.make_rns_ring(n, (30,) * (L + k))
+            params = F.HybridRaised(
+                F.CKKSParams(ring, 0, 3.2, secret="sparse",
+                             hamming_weight=h), dnum, k)
+        else:
+            ring = F.make_rns_ring(n, (30,) * (L + 1))   # + special prime
+            params = F.ModulusRaised(
+                F.CKKSParams(ring, 0, 3.2, secret="sparse",
+                             hamming_weight=h))
         ks = jax.random.split(jax.random.PRNGKey(5), 4)
         kp = F.keygen(params, ks[0])
         ctx = B.setup_bootstrap(ks[1], kp.priv, K=K, deg=deg, radix=radix,
@@ -118,7 +131,8 @@ def main():
         got = F.decrypt(kp, host(out))
     err = float(np.max(np.abs(got - vals)))
     print(json.dumps({
-        "metric": f"ckks_bootstrap_ms_n2^{logn}",
+        "metric": f"ckks_bootstrap_ms_n2^{logn}"
+                  + (f"_dnum{dnum}" if dnum else ""),
         "value": round(slope * 1e3, 1), "unit": "ms",
         "out_levels": out.ring.nlimbs, "max_err": err,
         "backend": jax.default_backend()}), flush=True)

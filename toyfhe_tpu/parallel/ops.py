@@ -228,6 +228,229 @@ def make_2axis_step(mesh: Mesh, mxu_tables, key_masks, key_maskeds,
     return jfn, place, (in_src, out_nat)
 
 
+def _concat_tabs(a: dict, b: dict) -> dict:
+    """Concatenate two table pytrees along the limb axis (ct tower ++
+    replicated raising primes) inside a shard_map body."""
+    out = {}
+    for k in ("p", "ninv", "psi_pow", "psi_ipow", "r2", "r1"):
+        out[k] = jnp.concatenate([a[k], b[k]], 0)
+    out["tw"] = tuple(jnp.concatenate([x, y], 0)
+                      for x, y in zip(a["tw"], b["tw"]))
+    out["twi"] = tuple(jnp.concatenate([x, y], 0)
+                       for x, y in zip(a["twi"], b["twi"]))
+    out["bitrev"] = a["bitrev"]
+    return out
+
+
+def _rem_mp(tabs, stabs, sp_keep: int):
+    """MontParams over local ct limbs ++ the first ``sp_keep`` specials."""
+    from ..ops.modmath import MontParams
+    cat = (lambda k: jnp.concatenate([tabs[k], stabs[k][:sp_keep]], 0)) \
+        if sp_keep else (lambda k: tabs[k])
+    p = cat("p")
+    return MontParams(p=p, ninv=cat("ninv"), r2=cat("r2"), r1=cat("r1"),
+                      half=(p - 1) // 2)
+
+
+def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
+                                 gct, gsp, rinv_ct, rinv_sp, rescale_inv,
+                                 tabs, stabs, bounds=None, axis_name=None,
+                                 lazy=False):
+    """Square → hybrid (dnum-grouped) relinearize → rescale on ct duals.
+
+    The digit decomposition is the on-device fast base conversion of
+    core/hybrid.py, laid out for residue parallelism: the per-limb ŷ
+    premultiply is shard-local, ONE all_gather shares the ŷ residues,
+    then every shard contracts its own target limbs. The ``num_special``
+    raising primes are REPLICATED on every shard (k extra limb rows), so
+    the P-division rescale chain needs NO further collectives — the same
+    two 'rp' collective sites as the per-limb step, with dnum digit NTT
+    batches instead of L.
+
+    Per-shard shapes (k = num_special, T = L_loc + k):
+      c:          uint32[B, 2, L_loc, N]     ciphertext duals
+      km/kd_ct:   uint32[ndig, L_loc, N]     key duals, ct-tower rows
+      km/kd_sp:   uint32[ndig, k, N]         key duals, special rows (repl.)
+      yinv:       uint32[L_loc, 1]           ŷ_i^{-1} premultipliers (Mont)
+      gct[j]:     uint32[L_loc, a_j, 1]      FBC constants Q_j/q_i mod q_t
+      gsp[j]:     uint32[k, a_j, 1]          … mod the specials (repl.)
+      rinv_ct[s]: uint32[L_loc, 1]           p_drop^{-1} at contract step s
+      rinv_sp[s]: uint32[k-s-1, 1]           … for the surviving specials
+      rescale_inv uint32[L_loc, 1]           final data-prime rescale
+      bounds:     static ((lo, hi), …)       global ct-limb group ranges
+    """
+    mp = _mp_full(tabs)
+    etabs = _concat_tabs(tabs, stabs)
+    mpe = _mp_full(etabs)
+    fwd_c = lambda v: S.ntt_p(v, tabs, lazy)
+    inv_c = lambda v: S.intt_p(v, tabs, lazy)
+    fwd_e = lambda v: S.ntt_p(v, etabs, lazy)
+    inv_e = lambda v: S.intt_p(v, etabs, lazy)
+
+    c1, c2 = c[:, 0], c[:, 1]
+    # --- homomorphic square (rlwe_she.jl:255-258) ---
+    d1 = _mulmod_t(c1, c1, tabs)
+    mid = _mulmod_t(c1, c2, tabs)
+    d2 = modmath.add_mod(mid, mid, mp)
+    d3 = _mulmod_t(c2, c2, tabs)
+
+    # --- hybrid relinearize d3 onto (d1, d2) ---
+    d3p = inv_c(d3)
+    y_loc = modmath.mont_mul(d3p, yinv, mp)             # [B, L_loc, N]
+    if axis_name is not None:
+        y = jax.lax.all_gather(y_loc, axis_name, axis=1, tiled=True)
+    else:
+        y = y_loc
+    mpe3 = mpe.expand()
+    digs = []
+    for (lo, hi), cct, csp in zip(bounds, gct, gsp):
+        yi = y[..., None, lo:hi, :]                     # [B, 1, a_j, N]
+        cj = jnp.concatenate([cct, csp], 0)             # [T, a_j, 1]
+        prod = modmath.mont_mul(yi, cj, mpe3)
+        digs.append(modmath.mod_sum(prod, mpe, axis=-2))
+    digs = fwd_e(jnp.stack(digs, axis=-3))              # [B, ndig, T, N]
+    kme = jnp.concatenate([km_ct, km_sp], axis=1)       # [ndig, T, N]
+    kde = jnp.concatenate([kd_ct, kd_sp], axis=1)
+    acc1 = modmath.mod_sum(modmath.mul_mod(digs, kde, mpe), mpe, axis=-3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(digs, kme, mpe), mpe, axis=-3)
+
+    # --- contract: divide the accumulator by P (k local rescales —
+    # the special rows are replicated, no collective) ---
+    a = inv_e(jnp.stack([acc1, acc2], 1))               # [B, 2, T, N]
+    k = km_sp.shape[1]
+    for s in range(k):
+        sp_keep = k - s - 1
+        mp_rem = _rem_mp(tabs, stabs, sp_keep)
+        inv_row = (jnp.concatenate([rinv_ct[s], rinv_sp[s][:sp_keep]], 0)
+                   if sp_keep else rinv_ct[s])
+        last = modmath.umod(a[..., -1:, :], mp_rem.p)
+        a = modmath.mont_mul(modmath.sub_mod(a[..., :-1, :], last, mp_rem),
+                             inv_row, mp_rem)
+
+    out = modmath.add_mod(inv_c(jnp.stack([d1, d2], 1)), a, mp)
+
+    # --- final rescale by the last data limb (crt.jl:215-220) ---
+    last_local = out[..., -1:, :]
+    if axis_name is not None:
+        idx = jax.lax.axis_index(axis_name)
+        nsh = jax.lax.axis_size(axis_name)
+        last_rows = jax.lax.all_gather(last_local, axis_name, axis=2,
+                                       tiled=True)
+        last = last_rows[..., -1:, :]
+    else:
+        idx, nsh = 0, 1
+        last = last_local
+    last_mod = modmath.umod(last, mp.p)
+    diff = modmath.sub_mod(out, last_mod, mp)
+    res = modmath.mont_mul(diff, rescale_inv, mp)
+    limb_ids = idx * mp.p.shape[0] + jnp.arange(mp.p.shape[0])
+    keep = (limb_ids < nsh * mp.p.shape[0] - 1)[:, None]
+    return fwd_c(jnp.where(keep, res, 0))
+
+
+def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True):
+    """Build the jitted rp-sharded square→relin→rescale step for a
+    HybridRaised parameter set (core/hybrid.py) at the full ct tower.
+
+    ``ek`` is the engine EvalMultKey. Returns (step_fn, place):
+    step_fn(c[B, 2, Lc, N] duals) → same shape, dropped limb zeroed.
+    Pass ``mesh=None`` for the single-chip flavor."""
+    from ..core import ring as R
+
+    ct_ring = params.ring_cipher
+    Lc, k = ct_ring.nlimbs, params.num_special
+    exp_ring, eng_groups = params._tables(Lc)
+    key_ring = params.ring_key
+    which = params.hybrid_key_limbs(exp_ring)
+    km, kd = [], []
+    for comp in ek.key.key[:len(eng_groups)]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
+                             which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked),
+                              which)
+        km.append(np.asarray(m.dual))
+        kd.append(np.asarray(md.dual))
+    km = np.stack(km, 0)                                # [ndig, Lc+k, N]
+    kd = np.stack(kd, 0)
+    km_ct, km_sp = jnp.asarray(km[:, :Lc]), jnp.asarray(km[:, Lc:])
+    kd_ct, kd_sp = jnp.asarray(kd[:, :Lc]), jnp.asarray(kd[:, Lc:])
+
+    bounds = tuple(g[0] for g in eng_groups)
+    yinv = jnp.asarray(np.concatenate([g[1] for g in eng_groups], 0))
+    gct = tuple(jnp.asarray(g[2][:Lc]) for g in eng_groups)
+    gsp = tuple(jnp.asarray(g[2][Lc:]) for g in eng_groups)
+
+    mont_col = lambda vals, ps: np.array(
+        [[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
+        dtype=np.uint64).astype(np.uint32)
+    rinv_ct, rinv_sp = [], []
+    cur = list(exp_ring.primes)
+    for s in range(k):
+        drop, cur = cur[-1], cur[:-1]
+        rinv_ct.append(jnp.asarray(mont_col(
+            [pow(drop, -1, p) for p in ct_ring.primes], ct_ring.primes)))
+        rem_sp = cur[Lc:]
+        rinv_sp.append(jnp.asarray(mont_col(
+            [pow(drop, -1, p) for p in rem_sp], rem_sp).reshape(-1, 1)))
+    rinv_ct, rinv_sp = tuple(rinv_ct), tuple(rinv_sp)
+    qk = ct_ring.primes[-1]
+    rescale_inv = jnp.asarray(mont_col(
+        [pow(qk, -1, p) if p != qk else 0 for p in ct_ring.primes],
+        ct_ring.primes))
+
+    sp_ring = params.params.ring_cipher.select(
+        list(range(params.L, params.L + k)))
+    tabs = full_table_pytree(ct_ring.tables)
+    stabs = full_table_pytree(sp_ring.tables)
+    lazy = ct_ring.tables.lazy_ok and sp_ring.tables.lazy_ok
+
+    if mesh is None:
+        body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
+                                 lazy=lazy)
+        jfn = jax.jit(lambda c: body(
+            c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp, rinv_ct, rinv_sp,
+            rescale_inv, tabs, stabs))
+        return jfn, lambda x: jnp.asarray(x)
+
+    data_spec = P("dp" if dp else None, None, "rp", None)
+    repl2, repl3 = P(None, None), P(None, None, None)
+    body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
+                             axis_name="rp", lazy=lazy)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(data_spec,
+                  P(None, "rp", None), repl3,       # km ct / sp
+                  P(None, "rp", None), repl3,       # kd ct / sp
+                  P("rp", None),                    # yinv
+                  tuple(P("rp", None, None) for _ in gct),
+                  tuple(repl3 for _ in gsp),
+                  tuple(P("rp", None) for _ in rinv_ct),
+                  tuple(repl2 for _ in rinv_sp),
+                  P("rp", None),                    # rescale_inv
+                  full_table_specs(),
+                  _repl_table_specs()),
+        out_specs=data_spec,
+        check_vma=False)
+    jfn = jax.jit(lambda c: fn(c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp,
+                               rinv_ct, rinv_sp, rescale_inv, tabs, stabs))
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, data_spec))
+
+    return jfn, place
+
+
+def _repl_table_specs() -> dict:
+    """Fully-replicated PartitionSpecs matching full_table_pytree (the
+    raising primes live on every shard)."""
+    return {
+        "p": P(None, None), "ninv": P(None, None),
+        "psi_pow": P(None, None), "psi_ipow": P(None, None),
+        "tw": P(None, None, None), "twi": P(None, None, None),
+        "bitrev": P(None), "r2": P(None, None), "r1": P(None, None),
+    }
+
+
 def make_single_chip_step(tables, key_masks, key_maskeds):
     """Jitted single-chip square→relin→rescale step (entry-point /
     benchmark flavor of the sharded step)."""
