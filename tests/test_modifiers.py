@@ -5,6 +5,7 @@ from fractions import Fraction
 
 import jax
 import numpy as np
+import pytest
 
 import toyfhe_tpu as F
 from toyfhe_tpu.utils import metrics
@@ -120,3 +121,71 @@ def test_batched_ciphertexts():
     for i in range(3):
         got = F.decrypt(kp, F.ct_index(y, i)).real
         np.testing.assert_allclose(got, vals[i] ** 2, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Scheme × modifier composition (the reference's PassthroughParams promise,
+# rlwe_she.jl:52-61 — never exercised beyond CKKS there)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("wrap", [
+    lambda p: F.ModulusRaised(p),
+    lambda p: F.HybridRaised(p, 2, 2),
+], ids=["modraised", "hybrid"])
+def test_bgv_with_raising_modifier(wrap):
+    """BGV composes with special-prime key switching: the contraction
+    uses p-adapted rounding (ring.rescale_adapted) so the error stays
+    ≡ 0 mod p and the low plaintext digits survive the division."""
+    ring = F.make_rns_ring(64, (28,) * 4 + (30, 30))
+    params = wrap(F.BGVParams(ring, 257, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 6), ks[2])
+    assert F.decrypt(kp, c)[0] == 6
+    y = F.keyswitch(ek, F.ct_mul(c, c))
+    assert F.decrypt(kp, y)[0] == 36
+
+
+def test_bgv_leveled_modswitch():
+    """Leveled BGV: ct_rescale uses the p-adapted rounding and tracks the
+    q_k^{-1} mod p message factor in a BGVTag, so chained squarings
+    across levels decrypt exactly (beyond the reference — ToyFHE never
+    modswitches BGV)."""
+    ring = F.make_rns_ring(64, (28,) * 4 + (30, 30))
+    params = F.ModulusRaised(F.BGVParams(ring, 257, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 6), ks[2])
+    m = 6
+    for _ in range(2):                        # sq -> relin -> modswitch
+        c = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+        m = m * m % 257
+        assert F.decrypt(kp, c)[0] == m
+    assert c.ring.nlimbs == 3            # 5-limb ct tower − 2 rescales
+
+
+@pytest.mark.parametrize("wrap", [
+    lambda p: F.ModulusRaised(p),
+    lambda p: F.HybridRaised(p, 2, 2),
+], ids=["modraised", "hybrid"])
+def test_bfv_with_raising_modifier(wrap):
+    """BFV composes with the raising modifiers: Δ and the BEHZ multiply
+    context are built per ciphertext tower (the ct lives short of the
+    base ring), including after a further rescale-drop (the BFV level
+    drop is ct_rescale — Δ·m rides the high bits, so truncation without
+    the division would scramble it)."""
+    ring = F.make_rns_ring(64, (28,) * 4 + (30, 30))
+    params = wrap(F.BFVParams(ring, None, F.PlainRing(64, 257), 0, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    c = F.encrypt(kp, F.scalar_encode(params.plaintext_space(), 6), ks[2])
+    assert F.decrypt(kp, c)[0] == 6
+    y = F.keyswitch(ek, F.ct_mul(c, c))
+    assert F.decrypt(kp, y)[0] == 36
+    z = F.ct_rescale(y)
+    assert F.decrypt(kp, z)[0] == 36
+    w = F.keyswitch(ek, F.ct_mul(z, z))
+    assert F.decrypt(kp, w)[0] == 36 * 36 % 257

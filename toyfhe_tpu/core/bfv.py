@@ -44,7 +44,7 @@ class BFVParams(SchemeParams):
         self.sigma = float(sigma)
         self.delta = int(delta) if delta is not None else ring.modulus // plain_ring.p
         self._delta_res = ring.scalar_residues(self.delta)
-        self._mulctx: Optional[BFVMulContext] = None
+        self._mulctx: dict = {}          # per-ct-tower BEHZ contexts
 
     @property
     def ring_cipher(self) -> RingContext:
@@ -57,11 +57,18 @@ class BFVParams(SchemeParams):
         return "BFV"
 
     # π⁻¹: Δ·m (bfv.jl:21-24)
-    def encode(self, plaintext: PlainPoly) -> RingElt:
+    def encode(self, plaintext: PlainPoly, ring: RingContext = None) -> RingElt:
+        # ``ring``: target tower — Δ is recomputed as ⌊q_ring/p⌋ when a
+        # raising modifier encrypts at a shorter tower than the full ring
+        ring = ring if ring is not None else self._ring
+        if ring is self._ring:
+            delta_res = self._delta_res
+        else:
+            delta_res = ring.scalar_residues(ring.modulus // self.plain.p)
         m = np.asarray(plaintext.coeffs, dtype=np.uint32)[None, :]
-        m = jnp.broadcast_to(jnp.asarray(m), (self._ring.nlimbs, self._ring.n))
+        m = jnp.broadcast_to(jnp.asarray(m), (ring.nlimbs, ring.n))
         return RingElt(primal=modmath.mul_mod(
-            m, jnp.asarray(self._delta_res), self._ring.mp))
+            m, jnp.asarray(delta_res), ring.mp))
 
     # π: centered-round by Δ then centered mod p (bfv.jl:26-29) — host,
     # native C++ CRT path with exact Python fallback
@@ -70,15 +77,17 @@ class BFVParams(SchemeParams):
         arr = np.asarray(b.primal)
         nat = ring.native()
         p = self.plain.p
+        # Δ at the ciphertext's OWN tower (the encode counterpart above)
+        delta = self.delta if ring is self._ring else ring.modulus // p
         if nat is not None:
-            out = nat.decode_bfv(arr, self.delta, p)
+            out = nat.decode_bfv(arr, delta, p)
             return PlainPoly(self.plain, out)
         xs = ring.to_bigint(arr)
         q = ring.modulus
         out = np.zeros(ring.n, dtype=np.int64)
         for j, x in enumerate(xs):
             xc = nt.centered(x, q)
-            out[j] = nt.divround(xc, self.delta) % p
+            out[j] = nt.divround(xc, delta) % p
         return PlainPoly(self.plain, out)
 
     # 𝒩 = 𝒢 = DiscreteNormal(0, σ) (bfv.jl:31-32)
@@ -90,24 +99,28 @@ class BFVParams(SchemeParams):
         return RingElt(primal=sampling.discrete_gaussian(key, ring.mp, ring.n,
                                                          self.sigma, batch))
 
-    # multiplication hooks (bfv.jl:34-40) — BEHZ pipeline
-    def mul_ctx(self) -> BFVMulContext:
-        if self._mulctx is None:
-            self._mulctx = BFVMulContext(self._ring, self.aux_ring)
-        return self._mulctx
+    # multiplication hooks (bfv.jl:34-40) — BEHZ pipeline, built per
+    # ciphertext tower (a raising modifier or a modswitch leaves the ct
+    # one or more limbs short of the base ring)
+    def mul_ctx(self, ring: RingContext = None) -> BFVMulContext:
+        ring = ring if ring is not None else self._ring
+        key = tuple(ring.primes)
+        if key not in self._mulctx:
+            aux = self.aux_ring if ring is self._ring else make_aux_ring(ring)
+            self._mulctx[key] = BFVMulContext(ring, aux)
+        return self._mulctx[key]
 
     def mul_expand_pair(self, c1: CipherText, c2: CipherText):
-        ctx = self.mul_ctx()
-        if c1.ring is not self._ring:
-            raise ValueError("BFV multiply requires the full tower (no modswitch support)")
+        ctx = self.mul_ctx(c1.ring)
         a = tuple(ctx.expand_component(x) for x in c1.cs)
         b = tuple(ctx.expand_component(x) for x in c2.cs)
         return ctx.ext_ring, (a, b)
 
     def mul_contract_pair(self, ring, cs):
-        ctx = self.mul_ctx()
+        # ``ring`` is the ext tower q ∪ B ∪ {m_sk}; recover the q part
+        ctx = next(c for c in self._mulctx.values() if c.ext_ring is ring)
         t = self.plain.p
-        return self._ring, tuple(ctx.contract_component(w, t) for w in cs)
+        return ctx.ring, tuple(ctx.contract_component(w, t) for w in cs)
 
 
 def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,

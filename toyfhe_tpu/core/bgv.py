@@ -15,7 +15,40 @@ from ..utils import numtheory as nt
 from . import ring as R
 from .plain import PlainPoly, PlainRing
 from .ring import RingContext, RingElt
-from .rlwe import SchemeParams
+from .rlwe import SchemeParams, UsageError
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class BGVTag:
+    """Leveled-BGV plaintext correction: rescaling by q_k multiplies the
+    message by q_k⁻¹ mod p (standard BGV modulus switching — beyond the
+    reference, which never modswitches BGV). ``mult`` accumulates the
+    dropped primes mod p; decode multiplies the result back by it."""
+
+    p: int
+    mult: int = 1
+
+    def rescale_by(self, q: int) -> "BGVTag":
+        return BGVTag(self.p, self.mult * (int(q) % self.p) % self.p)
+
+    def drop_limb(self, ring) -> "BGVTag":
+        return self                     # drop without rescale: m unchanged
+
+    def combine_mul(self, other: "BGVTag") -> "BGVTag":
+        if self.p != other.p:
+            raise UsageError("BGV plaintext modulus mismatch")
+        return BGVTag(self.p, self.mult * other.mult % self.p)
+
+    def combine_add(self, other: "BGVTag") -> "BGVTag":
+        if (self.p, self.mult) != (other.p, other.mult):
+            raise UsageError(
+                "BGV level-factor mismatch on add: rescale both operands "
+                "by the same primes first")
+        return self
+
+    def decode(self, params, dec: PlainPoly, ring) -> PlainPoly:
+        return PlainPoly(dec.ring, dec.coeffs * self.mult % self.p)
 
 
 class BGVParams(SchemeParams):
@@ -36,9 +69,12 @@ class BGVParams(SchemeParams):
     def scheme_name(self):
         return "BGV"
 
-    def encode(self, plaintext: PlainPoly) -> RingElt:
+    def encode(self, plaintext: PlainPoly, ring: RingContext = None) -> RingElt:
+        # ``ring``: target tower — a raising modifier encrypts at a
+        # shorter tower than the base scheme's full ring (crt.jl:161-183)
+        ring = ring if ring is not None else self._ring
         m = np.asarray(plaintext.coeffs, dtype=np.uint32)[None, :]
-        arr = jnp.broadcast_to(jnp.asarray(m), (self._ring.nlimbs, self._ring.n))
+        arr = jnp.broadcast_to(jnp.asarray(m), (ring.nlimbs, ring.n))
         # coefficients are < p < every q_i, so embedding is the identity
         return RingElt(primal=arr.astype(jnp.uint32))
 

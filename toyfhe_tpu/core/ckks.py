@@ -47,7 +47,7 @@ class CKKSParams(SchemeParams):
     def scheme_name(self):
         return "CKKS"
 
-    def encode(self, plaintext: RingElt) -> RingElt:
+    def encode(self, plaintext: RingElt, ring=None) -> RingElt:
         return plaintext               # π⁻¹ = identity (ckks.jl:21)
 
     def decode(self, b: RingElt, ring: RingContext) -> RingElt:

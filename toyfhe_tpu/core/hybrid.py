@@ -171,7 +171,12 @@ class HybridRaised(PassthroughParams):
     def hybrid_contract(self, ring: RingContext, a: RingElt
                         ) -> Tuple[RingContext, RingElt]:
         """Divide the accumulator by P: num_special rounding rescales
-        (crt.jl:215-220 semantics, applied k times)."""
+        (crt.jl:215-220 semantics, applied k times). BGV bases use the
+        p-adapted rounding (ring.rescale_adapted) so the error stays
+        ≡ 0 mod p; P cancels fully, leaving no message factor."""
+        from . import rlwe
+        t = rlwe.bgv_plain_modulus(self)
         for _ in range(self.num_special):
-            ring, a = R.rescale(ring, a)
+            ring, a = (R.rescale_adapted(ring, a, t) if t is not None
+                       else R.rescale(ring, a))
         return ring, a

@@ -64,6 +64,11 @@ class ModulusRaised(PassthroughParams):
         return expanded_ring, RingElt(
             primal=jnp.concatenate([scaled.primal, zerolimb], axis=-2))
 
-    # rescale by the special prime (modulusraising.jl:42 → crt.jl:215-220)
+    # rescale by the special prime (modulusraising.jl:42 → crt.jl:215-220);
+    # BGV needs the p-adapted correction so the low plaintext digits
+    # survive the division (no net message factor — P fully cancels)
     def keyswitch_contract(self, ring: RingContext, c: RingElt):
+        t = rlwe.bgv_plain_modulus(self)
+        if t is not None:
+            return R.rescale_adapted(ring, c, t)
         return R.rescale(ring, c)

@@ -320,3 +320,41 @@ def rescale(ring: RingContext, a: RingElt) -> Tuple[RingContext, RingElt]:
     diff = modmath.sub_mod(surv, last_mod, mp)
     out = modmath.mont_mul(diff, jnp.asarray(inv_m), mp)  # inv stored in Montgomery form
     return sub, RingElt(primal=out)
+
+
+def rescale_adapted(ring: RingContext, a: RingElt, t: int
+                    ) -> Tuple[RingContext, RingElt]:
+    """BGV-correct divide-and-round by the last prime: the correction
+    term d is chosen ≡ a mod q_k AND ≡ 0 mod t (the plaintext modulus),
+    so (a − d)/q_k keeps the noise ≡ 0 mod t — the low plaintext digits
+    survive the division. d = r + q_k·v with r the centered last-limb
+    residue and v ≡ −r·q_k⁻¹ (mod t), centered; ‖d‖ ≤ q_k(t + 1)/2.
+    Message is multiplied by q_k⁻¹ mod t (track, or use q_k ≡ 1 mod t).
+    Beyond the reference: ToyFHE's modswitch (crt.jl:215-220) is
+    CKKS/BFV-only rounding, never composed with BGV."""
+    a = ensure_primal(ring, a)
+    sub = ring.drop_last()
+    qk = ring.primes[-1]
+    qk_mod, inv_m = ring.rescale_consts()
+    mp = sub.mp
+    t = int(t)
+    if not (1 < t < (1 << 20)):
+        raise ValueError("rescale_adapted needs a plaintext modulus < 2^20")
+    last = a.primal[..., -1:, :]
+    last_mp = ring.mp.select([ring.nlimbs - 1])
+    r = modmath.centered(last, last_mp)                  # int32 (−q_k/2, q_k/2]
+    # v ≡ −r·q_k⁻¹ (mod t), centered in (−t/2, t/2]; the product is
+    # assembled from 16-bit halves so t up to 2^20 cannot overflow int32
+    neg_inv = (t - pow(qk, -1, t) % t) % t
+    r_t = jnp.mod(r, jnp.int32(t)).astype(jnp.uint32)    # [0, t)
+    hi, lo = modmath.mul32(r_t, jnp.uint32(neg_inv))
+    vin = modmath.umod(modmath.umod(hi * np.uint32(((1 << 32) % t)), t)
+                       + modmath.umod(lo, t), t)
+    v = jnp.where(vin > t // 2, vin.astype(jnp.int32) - t,
+                  vin.astype(jnp.int32))
+    # d_j = (r + q_k·v) mod q_j assembled from uint32 modular pieces
+    rj = modmath.from_signed(r, mp)
+    vj = modmath.from_signed(v, mp)
+    dj = modmath.add_mod(rj, modmath.mul_mod(jnp.asarray(qk_mod), vj, mp), mp)
+    diff = modmath.sub_mod(a.primal[..., :-1, :], dj, mp)
+    return sub, RingElt(primal=modmath.mont_mul(diff, jnp.asarray(inv_m), mp))

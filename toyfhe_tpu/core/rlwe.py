@@ -117,8 +117,12 @@ class PassthroughParams(SchemeParams):
     def plaintext_space(self):
         return self.params.plaintext_space()
 
-    def encode(self, plaintext):
-        return self.params.encode(plaintext)
+    def encode(self, plaintext, ring=None):
+        # encode at the WRAPPER's ciphertext tower: raising modifiers
+        # encrypt one or more limbs short of the base scheme's ring
+        return self.params.encode(plaintext,
+                                  ring=ring if ring is not None
+                                  else self.ring_cipher)
 
     def decode(self, b, ring):
         return self.params.decode(b, ring)
@@ -762,18 +766,39 @@ def ct_modswitch_drop(c: CipherText) -> CipherText:
     return CipherText(c.params, tuple(cs), sub, enc=enc)
 
 
+def bgv_plain_modulus(params):
+    """The plaintext modulus when the (possibly wrapped) base scheme is
+    BGV — its divide-and-round steps must keep the error ≡ 0 mod p
+    (ring.rescale_adapted); None for every other scheme."""
+    base = params
+    while isinstance(base, PassthroughParams):
+        base = base.params
+    return base.plain.p if base.scheme_name() == "BGV" else None
+
+
 def ct_rescale(c: CipherText) -> CipherText:
-    """CKKS modswitch: exact rescale by the dropped prime + scale division
-    (ckksencoding.jl:126-130)."""
+    """Modswitch by the last prime: CKKS — exact rescale + scale division
+    (ckksencoding.jl:126-130); BGV — p-adapted rounding, the message
+    picks up a q_k⁻¹ mod p factor tracked in a BGVTag (leveled BGV,
+    beyond the reference)."""
     from ..utils import metrics
     metrics.count("rescale")
     ring = c.ring
+    t = bgv_plain_modulus(c.params)
     cs = []
     sub = None
     for x in c.cs:
-        sub, y = R.rescale(ring, x)
+        sub, y = (R.rescale_adapted(ring, x, t) if t is not None
+                  else R.rescale(ring, x))
         cs.append(y)
-    enc = c.enc.rescale_by(ring.primes[-1]) if c.enc is not None and hasattr(c.enc, "rescale_by") else c.enc
+    if t is not None:
+        from .bgv import BGVTag
+        enc = (c.enc if c.enc is not None else BGVTag(t)).rescale_by(
+            ring.primes[-1])
+    else:
+        enc = (c.enc.rescale_by(ring.primes[-1])
+               if c.enc is not None and hasattr(c.enc, "rescale_by")
+               else c.enc)
     return CipherText(c.params, tuple(cs), sub, enc=enc)
 
 
