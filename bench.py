@@ -152,6 +152,54 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
     return batch / t, t
 
 
+def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=3, k=3):
+    """Throughput of the square→relin→rescale step on the dnum-grouped
+    hybrid gadget (core/hybrid.py): dnum digit NTT batches over L+k
+    limbs instead of L batches over L+1 — the production key-switch.
+    Synthetic keys (see _bench_keyswitch); correctness vs the eager
+    engine is covered by tests/test_parallel.py."""
+    import jax
+    import jax.numpy as jnp
+
+    import toyfhe_tpu as F
+    from toyfhe_tpu.core.ring import RingElt
+    from toyfhe_tpu.core.rlwe import KeyComponent, KeySwitchKey
+    from toyfhe_tpu.parallel import ops as pops
+
+    ring = F.make_rns_ring(n, tuple([28] * L + [30] * k))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum, k)
+    rng = np.random.default_rng(1)
+    lim = min(ring.primes)
+    key_ring = params.ring_key
+    comps = [KeyComponent(
+        mask=RingElt(dual=jnp.asarray(rng.integers(
+            0, lim, (key_ring.nlimbs, n)).astype(np.uint32))),
+        masked=RingElt(dual=jnp.asarray(rng.integers(
+            0, lim, (key_ring.nlimbs, n)).astype(np.uint32))))
+        for _ in range(params.dnum)]
+
+    class _EK:                     # shape the builder expects (ek.key.key)
+        pass
+    ek = _EK()
+    ek.key = KeySwitchKey(params, comps, key_ring)
+
+    step, place = pops.make_hybrid_sharded_step(None, params, ek)
+    cts = jnp.asarray(np.random.default_rng(2).integers(
+        0, lim, (batch, 2, L, n)).astype(np.uint32))
+
+    def chain(K):
+        @jax.jit
+        def f(c):
+            for _ in range(K):
+                out = step(c)
+                c = c.at[:, :, : L - 1, :].set(out[:, :, : L - 1, :])
+            return c
+        return f
+
+    t = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    return batch / t, t
+
+
 def main():
     backend = _watchdog_smoke()
     if backend is None:
@@ -163,6 +211,10 @@ def main():
         os._exit(0)
     ntt_per_s, ntt_t = _bench_ntt()
     ks_per_s, ks_t = _bench_keyswitch()
+    try:
+        hks_per_s, hks_t = _bench_keyswitch_hybrid()
+    except Exception:
+        hks_per_s, hks_t = float("nan"), float("nan")
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -187,8 +239,10 @@ def main():
         "unit": "limb-NTT/s",
         "vs_baseline": _num(vs, 3),
         "keyswitch_per_s": _num(ks_per_s, 2),
+        "hybrid_keyswitch_per_s": _num(hks_per_s, 2),
         "ntt_batch_ms": _num(ntt_t * 1e3, 3),
         "keyswitch_step_ms": _num(ks_t * 1e3, 3),
+        "hybrid_keyswitch_step_ms": _num(hks_t * 1e3, 3),
         "backend": backend,
     }
     print(json.dumps(out), flush=True)

@@ -110,20 +110,31 @@ def main():
                       else out.cs[0].primal)
     print(f"run1 (incl transfer): {time.time()-t0:.1f}s", flush=True)
 
-    # slope: K=3 vs K=1 chained refreshes
-    comp3 = chain(3).lower(ctx_h, c_h).compile()
-    times = {1: [], 3: []}
-    for r in range(5):
-        for kreps, comp in (((1, comp1), (3, comp3)) if r % 2 == 0
-                            else ((3, comp3), (1, comp1))):
-            t0 = time.time()
-            o = comp(ctx_h, c_h)
-            np.asarray(o.cs[0].dual if o.cs[0].dual is not None
-                       else o.cs[0].primal)
-            times[kreps].append(time.time() - t0)
-    slope = (min(times[3]) - min(times[1])) / 2
+    # Timing: repeated single-refresh runs minus the measured dispatch/
+    # transfer floor. (The chained-slope methodology is wrong here —
+    # XLA compile time scales with the chain length, and one bootstrap
+    # graph already takes ~25 min to compile at L=24.) The floor is a
+    # trivial jitted op on the same ciphertext pytree, so the tunnel's
+    # dispatch + sync cost cancels to first order; bootstrap wall is
+    # ~100× the floor, so the correction is small anyway.
+    import jax as _jax
+    pick = ((lambda c_: c_.cs[0].dual) if c_h.cs[0].dual is not None
+            else (lambda c_: c_.cs[0].primal))
+    floor_fn = _jax.jit(lambda c_: pick(c_) + 1).lower(c_h).compile()
+    np.asarray(floor_fn(c_h))
+    floors, times = [], []
+    for r in range(7):
+        t0 = time.time()
+        np.asarray(floor_fn(c_h))
+        floors.append(time.time() - t0)
+        t0 = time.time()
+        o = comp1(ctx_h, c_h)
+        np.asarray(o.cs[0].dual if o.cs[0].dual is not None
+                   else o.cs[0].primal)
+        times.append(time.time() - t0)
+    slope = min(times) - min(floors)
     print(f"bootstrap wall: {slope*1e3:.1f} ms "
-          f"(min1={min(times[1]):.3f}s min3={min(times[3]):.3f}s)",
+          f"(min run={min(times):.3f}s dispatch floor={min(floors):.3f}s)",
           flush=True)
 
     # correctness: decrypt on CPU

@@ -255,7 +255,7 @@ def _rem_mp(tabs, stabs, sp_keep: int):
 def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
                                  gct, gsp, rinv_ct, rinv_sp, rescale_inv,
                                  tabs, stabs, bounds=None, axis_name=None,
-                                 lazy=False):
+                                 lazy=False, mt_ct=None, mt_exp=None):
     """Square → hybrid (dnum-grouped) relinearize → rescale on ct duals.
 
     The digit decomposition is the on-device fast base conversion of
@@ -282,10 +282,17 @@ def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
     mp = _mp_full(tabs)
     etabs = _concat_tabs(tabs, stabs)
     mpe = _mp_full(etabs)
-    fwd_c = lambda v: S.ntt_p(v, tabs, lazy)
-    inv_c = lambda v: S.intt_p(v, tabs, lazy)
-    fwd_e = lambda v: S.ntt_p(v, etabs, lazy)
-    inv_e = lambda v: S.intt_p(v, etabs, lazy)
+    if mt_ct is not None:               # single-chip: MXU Pallas transforms
+        from ..ops import ntt_mxu_pallas as _mxp
+        fwd_c = lambda v: _mxp.ntt_mxu_nat(mt_ct, v)
+        inv_c = lambda v: _mxp.intt_mxu_nat(mt_ct, v)
+        fwd_e = lambda v: _mxp.ntt_mxu_nat(mt_exp, v)
+        inv_e = lambda v: _mxp.intt_mxu_nat(mt_exp, v)
+    else:
+        fwd_c = lambda v: S.ntt_p(v, tabs, lazy)
+        inv_c = lambda v: S.intt_p(v, tabs, lazy)
+        fwd_e = lambda v: S.ntt_p(v, etabs, lazy)
+        inv_e = lambda v: S.intt_p(v, etabs, lazy)
 
     c1, c2 = c[:, 0], c[:, 1]
     # --- homomorphic square (rlwe_she.jl:255-258) ---
@@ -405,8 +412,12 @@ def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True):
     lazy = ct_ring.tables.lazy_ok and sp_ring.tables.lazy_ok
 
     if mesh is None:
+        from ..ops.ntt import _mxu_tables
+        mt_ct = _mxu_tables(ct_ring.tables)
+        mt_exp = _mxu_tables(exp_ring.tables) if mt_ct is not None else None
         body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
-                                 lazy=lazy)
+                                 lazy=lazy, mt_ct=mt_ct,
+                                 mt_exp=mt_exp)
         jfn = jax.jit(lambda c: body(
             c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp, rinv_ct, rinv_sp,
             rescale_inv, tabs, stabs))
