@@ -267,3 +267,27 @@ def test_fused_pallas_keyswitch():
 
     np.testing.assert_array_equal(rescale(o1), np.asarray(r1))
     np.testing.assert_array_equal(rescale(o2), np.asarray(r2))
+
+
+def test_fast_mnist_pipeline_hybrid():
+    """Compiled-layer MNIST pipeline on the dnum-grouped hybrid gadget
+    (small config): same label agreement as the plaintext model."""
+    import jax
+    import numpy as np
+    from toyfhe_tpu.models import mnist as M
+
+    cfg = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
+                        ring_logn=9,
+                        limb_bits=(30, 30, 28, 28, 28, 28, 28) + (30,) * 3,
+                        scale_log2=28, gadget="hybrid", dnum=3,
+                        num_special=3)
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, acc = M.train(cfg, kt, steps=80)
+    assert acc > 0.9
+    imgs, _ = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
+    imgs = np.asarray(imgs)
+    plain = np.asarray(M.model_forward(cfg, params, imgs))
+    setup = M.fhe_setup(cfg, kf)
+    enc = M.encrypted_inference_fast(setup, params, imgs, ke)
+    assert np.abs(enc.T - plain).max() < 0.5
+    assert np.array_equal(np.argmax(enc.T, -1), np.argmax(plain, -1))

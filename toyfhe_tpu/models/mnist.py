@@ -57,6 +57,12 @@ class MNISTConfig:
     # last limb is the special prime.
     limb_bits: Tuple[int, ...] = (28,) * 8
     scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
+    # key-switch gadget: "modraise" (one special prime, per-limb digits)
+    # or "hybrid" (core/hybrid.py dnum-grouped digits; the last
+    # ``num_special`` limbs of ``limb_bits`` are the raising primes)
+    gadget: str = "modraise"
+    dnum: int = 3
+    num_special: int = 3
 
     @property
     def positions(self) -> int:            # conv output positions per image
@@ -173,7 +179,11 @@ class FHESetup:
 
 def fhe_setup(cfg: MNISTConfig, rng) -> FHESetup:
     ring = F.make_rns_ring(1 << cfg.ring_logn, cfg.limb_bits)
-    params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    if cfg.gadget == "hybrid":
+        params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), cfg.dnum,
+                                cfg.num_special)
+    else:
+        params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
     ks = jax.random.split(rng, 3)
     kp = F.keygen(params, ks[0])
     ek = F.keygen_eval_mult(ks[1], kp.priv)
