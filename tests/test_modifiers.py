@@ -189,3 +189,18 @@ def test_bfv_with_raising_modifier(wrap):
     assert F.decrypt(kp, z)[0] == 36
     w = F.keyswitch(ek, F.ct_mul(z, z))
     assert F.decrypt(kp, w)[0] == 36 * 36 % 257
+
+
+def test_security_estimator():
+    """HEStd audit direction: estimate_security / security_level
+    (generalizes cryptparams.jl:76-78's one-way lookup)."""
+    assert F.estimate_security(8192, 218, F.cryptparams.HEStd_ternary) == 128
+    assert F.estimate_security(8192, 118, F.cryptparams.HEStd_ternary) == 256
+    assert F.estimate_security(8192, 300, F.cryptparams.HEStd_ternary) == 0
+    assert F.estimate_security(256, 10) == 0          # below the table
+    # between rows: conservative (uses the lower N's budget)
+    assert F.estimate_security(12288, 218) == 128
+
+    ring = F.make_rns_ring(64, (28,) * 4 + (30, 30))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 2, 2)
+    assert F.security_level(params) == 0              # toy ring

@@ -35,6 +35,7 @@ from .core.hybrid import HybridRaised
 from .core.insecure import InsecureDebug
 from .core.noise import bgv_noise_budget, ckks_precision, ckks_scale_bits
 from .core.planner import plan_ckks_tower, plan_ckks_ring
+from .core.cryptparams import estimate_security, security_level
 from .core import cryptparams
 from .core import bootstrap
 from .utils import metrics, serialization

@@ -79,3 +79,42 @@ def palisade_ring(m: int) -> RingContext:
         n, logqs = _PALISADE_SHAPES[m]
         _palisade_cache[m] = make_rns_ring(n, logqs)
     return _palisade_cache[m]
+
+
+def estimate_security(n: int, log_q: float,
+                      dist: StdDistribution = HEStd_ternary) -> int:
+    """Highest HEStd v1.1 classic security level (128/192/256 bits)
+    whose modulus budget covers log2(q) at ring dimension n; 0 when
+    below 128-bit (or n below the standard table). Between table rows
+    the next LOWER n's budget is used — conservative, since the budget
+    grows with n. Generalizes the reference's one-way std_ring_dim
+    lookup (cryptparams.jl:76-78) into an audit direction."""
+    fit = 0
+    for tn in _STD_N:
+        if tn <= n:
+            fit = tn
+    if fit == 0:
+        return 0
+    row = _STD_PARAMS[dist][fit]
+    for level, idx in ((256, 2), (192, 1), (128, 0)):
+        if row[idx] >= log_q:
+            return level
+    return 0
+
+
+def security_level(params) -> int:
+    """HEStd classic security of a parameter set, from the KEY tower
+    (keys live at the full Q·P modulus — the security-relevant size;
+    raising primes count). Sparse ternary secrets are rated with the
+    ternary table — the standard has no sparse column, so treat the
+    result as an upper bound for small hamming weights."""
+    import math as _m
+
+    ring = params.ring_key
+    dist = HEStd_ternary
+    base = params
+    while hasattr(base, "params"):
+        base = base.params
+    if getattr(base, "secret", None) == "gaussian":
+        dist = HEStd_error
+    return estimate_security(ring.n, _m.log2(ring.modulus), dist)
