@@ -51,3 +51,22 @@ def test_galois_and_evalmult_key_roundtrip(tmp_path):
     ek2 = ser.load_eval_mult_key(str(tmp_path / "ek.npz"), params)
     y = F.keyswitch(ek2, F.ct_mul(c, c))
     np.testing.assert_allclose(F.decrypt(kp, y).real, vals ** 2, atol=1e-2)
+
+
+def test_hybrid_key_roundtrip(tmp_path):
+    """dnum-grouped hybrid keys round-trip: components live at the full
+    Q·P key tower; params (dnum/num_special) are reconstructed by the
+    caller, as with every modifier."""
+    ring = F.make_rns_ring(32, (28,) * 4 + (30, 30))
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 2, 2)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    assert len(ek.key.key) == 2                      # dnum digits, not L
+    ser.save_eval_mult_key(str(tmp_path / "hek.npz"), ek)
+    ek2 = ser.load_eval_mult_key(str(tmp_path / "hek.npz"), params)
+    vals = np.linspace(0.2, 1.5, 16)
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 26), ks[2])
+    y = F.ct_rescale(F.keyswitch(ek2, F.ct_mul(c, c)))
+    np.testing.assert_allclose(F.decrypt(kp, y).real, vals ** 2, atol=1e-3)
