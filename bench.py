@@ -152,12 +152,15 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
     return batch / t, t
 
 
-def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=3, k=3):
+def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
     """Throughput of the square→relin→rescale step on the dnum-grouped
     hybrid gadget (core/hybrid.py): dnum digit NTT batches over L+k
     limbs instead of L batches over L+1 — the production key-switch.
-    Synthetic keys (see _bench_keyswitch); correctness vs the eager
-    engine is covered by tests/test_parallel.py."""
+    Raising primes are 29-bit requests so the whole expanded tower stays
+    under the 2^30 MXU/lazy gate (a 30-bit request yields 31-bit primes
+    and silently demotes the transforms to radix-2). Synthetic keys
+    (see _bench_keyswitch); correctness vs the eager engine is covered
+    by tests/test_parallel.py."""
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +169,7 @@ def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=3, k=3):
     from toyfhe_tpu.core.rlwe import KeyComponent, KeySwitchKey
     from toyfhe_tpu.parallel import ops as pops
 
-    ring = F.make_rns_ring(n, tuple([28] * L + [30] * k))
+    ring = F.make_rns_ring(n, tuple([28] * L + [29] * k))
     params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum, k)
     rng = np.random.default_rng(1)
     lim = min(ring.primes)

@@ -415,6 +415,8 @@ def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True):
         from ..ops.ntt import _mxu_tables
         mt_ct = _mxu_tables(ct_ring.tables)
         mt_exp = _mxu_tables(exp_ring.tables) if mt_ct is not None else None
+        if mt_exp is None:            # both rings or neither (one gate)
+            mt_ct = None
         body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
                                  lazy=lazy, mt_ct=mt_ct,
                                  mt_exp=mt_exp)
