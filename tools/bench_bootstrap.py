@@ -50,16 +50,23 @@ def main():
     cpu = jax.devices("cpu")[0]
 
     t0 = time.time()
+    # Eager setup runs on host CPU while the default backend is TPU —
+    # force the radix-2 path so the MXU Pallas kernel (TPU-only) is not
+    # selected for CPU-resident arrays. Restored before the TPU jit.
+    os.environ["TOYFHE_NTT_IMPL"] = "radix2"
     with jax.default_device(cpu):
+        # 29-bit limb requests: a "30-bit" request yields 31-bit primes,
+        # which fail the 2^30 MXU/lazy gate and silently demote every
+        # transform in the refresh to radix-2 (docs/performance.md)
         if dnum:
             alpha = -(-L // dnum)
             k = alpha + 1                 # P > alpha * Q_group headroom
-            ring = F.make_rns_ring(n, (30,) * (L + k))
+            ring = F.make_rns_ring(n, (29,) * (L + k))
             params = F.HybridRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h), dnum, k)
         else:
-            ring = F.make_rns_ring(n, (30,) * (L + 1))   # + special prime
+            ring = F.make_rns_ring(n, (29,) * (L + 1))   # + special prime
             params = F.ModulusRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h))
@@ -77,6 +84,7 @@ def main():
           f"radix={radix} h={h} K={K} deg={deg} "
           f"rotkeys={len(ctx.gks.keys)}", flush=True)
 
+    os.environ.pop("TOYFHE_NTT_IMPL", None)   # TPU path: MXU kernels on
     # decouple from CPU commitment so jit dispatches to the default
     # (TPU) backend and transfers inputs once
     host = lambda t: jax.tree_util.tree_map(np.asarray, t)
@@ -137,7 +145,8 @@ def main():
           f"(min run={min(times):.3f}s dispatch floor={min(floors):.3f}s)",
           flush=True)
 
-    # correctness: decrypt on CPU
+    # correctness: decrypt on CPU (radix-2 again — CPU-resident arrays)
+    os.environ["TOYFHE_NTT_IMPL"] = "radix2"
     with jax.default_device(cpu):
         got = F.decrypt(kp, host(out))
     err = float(np.max(np.abs(got - vals)))
