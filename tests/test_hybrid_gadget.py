@@ -112,3 +112,35 @@ def test_matches_modraised_semantics():
         outs.append(F.decrypt(kp, out))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
     np.testing.assert_allclose(outs[0], vals ** 2, atol=2e-4)
+
+
+def test_hoisted_rotations():
+    """rotate_many shares one decomposition across rotations. The result
+    is NOT bit-identical to per-step rotate() — the uncorrected FBC lift
+    of σ(x) differs from σ(lift(x)) by small multiples of Q_j, which the
+    P-division absorbs — but decrypts to the same message at the same
+    noise class."""
+    from toyfhe_tpu.core.rlwe import galois_element_for_steps
+
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    n = c.ring.n
+    steps = [1, 2, 3]
+    gks = F.keygen_galois_set(jax.random.PRNGKey(11), kp.priv, steps)
+    els = [galois_element_for_steps(n, s) for s in steps]
+    hoisted = F.rotate_many(gks, c, els)
+    for s, g in zip(steps, els):
+        ref = F.decrypt(kp, F.rotate(gks.for_element(g), c))
+        got = F.decrypt(kp, hoisted[g])
+        np.testing.assert_allclose(got, np.roll(vals, s), atol=2e-4)
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_hoisted_conjugation():
+    """The conjugation element 2N−1 also rides the hoisted path."""
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    n = c.ring.n
+    g = 2 * n - 1
+    gkc = F.keygen_galois(jax.random.PRNGKey(12), kp.priv, galois_element=g)
+    hoisted = F.rotate_many(F.GaloisKeys([gkc]), c, [g])
+    np.testing.assert_allclose(F.decrypt(kp, hoisted[g]), np.conj(vals),
+                               atol=2e-4)

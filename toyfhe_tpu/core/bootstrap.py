@@ -73,6 +73,19 @@ def rotate_steps(gks: GaloisKeys, c: CipherText, steps: int) -> CipherText:
     return rlwe.rotate(gks.for_element(galois_element_for_steps(n, -k)), c)
 
 
+def rotate_steps_many(gks: GaloisKeys, c: CipherText, steps_list) -> dict:
+    """{steps: rotated ct} sharing one hoisted decomposition
+    (rlwe.rotate_many); the BSGS baby loops' workhorse."""
+    n = c.ring.n
+    ks = sorted({s % (n // 2) for s in steps_list})
+    els = {k: galois_element_for_steps(n, -k) for k in ks if k}
+    rotated = rlwe.rotate_many(gks, c, sorted(set(els.values())))
+    out = {k: rotated[e] for k, e in els.items()}
+    if 0 in ks:
+        out[0] = c
+    return out
+
+
 def conjugate(gk_conj, c: CipherText) -> CipherText:
     """Complex conjugation of the slot vector: galois element 2N−1
     (evaluation points ζ^g ↦ ζ^{−g}), then keyswitch."""
@@ -122,7 +135,8 @@ def linear_transform(gks: GaloisKeys, c: CipherText, M: np.ndarray
     diags = {k: M[j, (j + k) % d] for k in range(d)}
     bs, gs = bsgs_split(d)
 
-    baby = {0: c}
+    need = sorted({k % bs for k in range(d) if np.any(diags[k])})
+    baby = rotate_steps_many(gks, c, need)      # hoisted where supported
     out = None
     for g in range(gs):
         inner = None
@@ -133,8 +147,6 @@ def linear_transform(gks: GaloisKeys, c: CipherText, M: np.ndarray
             dk = diags[k]
             if not np.any(dk):
                 continue
-            if b not in baby:
-                baby[b] = rotate_steps(gks, c, b)
             dk_shift = np.roll(dk, g * bs)          # rot_{−g·bs}(diag_k)
             term = mul_plain_vector(baby[b], dk_shift)
             inner = term if inner is None else rlwe.ct_add(inner, term)
@@ -218,7 +230,9 @@ def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
 
     d = c.ring.n // 2
     groups = SF.bsgs_split_offsets(diags.keys(), d)
-    baby = {}
+    need = sorted({b for _, items in groups.items() for b, off in items
+                   if np.any(np.asarray(diags[off]))})
+    baby = rotate_steps_many(gks, c, need)      # hoisted where supported
     out = None
     for g, items in sorted(groups.items()):
         inner = None
@@ -226,8 +240,6 @@ def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
             vec = np.asarray(diags[off], dtype=np.complex128)
             if not np.any(vec):
                 continue
-            if b not in baby:
-                baby[b] = rotate_steps(gks, c, b)
             term_vec = np.roll(vec, g, axis=-1)          # rot_{−g}(diag)
             if vec.ndim == 1:
                 term = mul_plain_vector(baby[b], term_vec)

@@ -742,6 +742,73 @@ def rotate(gk, c: CipherText, steps: Optional[int] = None) -> CipherText:
     return keyswitch(gk, apply_galois_ct(c, gk.galois_element))
 
 
+def rotate_many(gks: GaloisKeys, c: CipherText, elements) -> dict:
+    """Hoisted rotations: {galois_element: rotated ct} for a batch of
+    elements, sharing ONE gadget decomposition + digit NTT.
+
+    σ_g commutes with the limb/FBC decomposition (per-coefficient linear
+    ops commute with the signed coefficient permutation) and acts on the
+    dual domain as the pure permutation ``ntt.galois_dual_perm``; so the
+    per-rotation cost drops to a digit gather + key contraction +
+    contract — the (ndig·Le)-transform decomposition is paid once
+    (HElib/SEAL "hoisting"; beyond the reference). Hybrid-gadget params
+    take the fast path; everything else falls back to rotate()."""
+    params = c.params
+    if getattr(params, "hybrid_decompose", None) is None or len(c.cs) != 2:
+        return {g: rotate(gks.for_element(g), c) for g in elements}
+    return _rotate_many_hybrid(params, gks, c, list(elements))
+
+
+def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
+                        elements) -> dict:
+    from ..ops import ntt as nttmod
+    from ..utils import metrics
+
+    ring = c.ring
+    n = ring.n
+    exp_ring, digits = params.hybrid_decompose(ring, c.cs[1])
+    metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
+    ddual = nttmod.ntt(exp_ring.tables, digits)           # [ndig, Le, N]
+    c0d = R.ensure_dual(ring, c.cs[0]).dual
+    mp = exp_ring.mp
+    key_ring = params.ring_key
+    which = params.hybrid_key_limbs(exp_ring)
+    ndig = int(digits.shape[0])
+
+    outs = {}
+    for g in elements:
+        gk = gks.for_element(g)
+        metrics.count("rotate")
+        metrics.count("keyswitch")
+        perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
+        pd = jnp.take(ddual, perm, axis=-1)
+        masks, maskeds = [], []
+        for comp in gk.key.key[:ndig]:
+            _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
+                                 which)
+            _, md = R.limb_select(key_ring,
+                                  R.ensure_dual(key_ring, comp.masked), which)
+            masks.append(m.dual)
+            maskeds.append(md.dual)
+        masks = jnp.stack(masks, 0)
+        maskeds = jnp.stack(maskeds, 0)
+        extra = pd.ndim - 3
+        if extra:
+            shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
+            masks = masks.reshape(shp)
+            maskeds = maskeds.reshape(shp)
+        mp3 = exp_ring.mp
+        acc2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
+        acc1 = _mod_sum(modmath.mul_mod(maskeds, pd, mp3), mp3)
+        out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1))
+        _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2))
+        assert out_ring is ring
+        c0_rot = RingElt(dual=jnp.take(c0d, perm, axis=-1))
+        outs[g] = CipherText(c.params, (R.add(ring, c0_rot, a1), a2), ring,
+                             enc=c.enc)
+    return outs
+
+
 def modswitch(c: CipherText, new_modulus=None) -> CipherText:
     """Generic modulus switch. With no target, behaves like the CKKS
     rescale path; arbitrary-target switching is not implemented — parity

@@ -274,6 +274,18 @@ def apply_galois(mp: MontParams, x, src: np.ndarray, neg: np.ndarray):
     return jnp.where(jnp.asarray(neg), modmath.neg_mod(y, mp), y)
 
 
+def galois_dual_perm(n: int, galois_element: int) -> np.ndarray:
+    """x(X) ↦ x(X^g) as a DUAL-domain gather (no sign flips).
+
+    The natural-order dual holds evaluations at ψ^{2k+1}; σ_g maps the
+    evaluation at ψ^{2k+1} to x(ψ^{(2k+1)g}), a pure permutation of
+    evaluation points: ``out[k] = in[(((2k+1)·g mod 2N) − 1)/2]``.
+    Enables hoisted rotations: NTT(σ_primal·x) = take(NTT(x), perm)."""
+    g = int(galois_element)
+    k = np.arange(n, dtype=np.int64)
+    return (((2 * k + 1) * g) % (2 * n) - 1) // 2
+
+
 def naive_negacyclic_mul(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
     """O(n²) schoolbook negacyclic convolution over Python ints.
 
