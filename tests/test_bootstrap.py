@@ -311,6 +311,32 @@ def test_jit_bootstrap(deep_mr):
         np.testing.assert_array_equal(ap, bp)
 
 
+def test_jit_bootstrap_cached(deep_mr):
+    """jit_bootstrap_cached threads the encoded transform diagonals in
+    as jit ARGUMENTS (device buffers, not HLO constants) and is
+    bit-identical to the plain jit path."""
+    params, kp, ctx0, k = deep_mr
+    ctx = B.BootstrapContext(ek=ctx0.ek, gks=ctx0.gks, gk_conj=ctx0.gk_conj,
+                             K=5.0, deg=24, plan=ctx0.plan, arcsin=True,
+                             double_angle=2)
+    rng = np.random.default_rng(3)
+    H = N // 2
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    items, eager = B.record_plain_cache(ctx, c)
+    assert len(items) > 0
+    fn = B.jit_bootstrap_replay()
+    cached = fn(ctx, c, items)
+    assert cached.ring is eager.ring
+    for a, b in zip(eager.cs, cached.cs):
+        ap = np.asarray(ringops.ensure_primal(eager.ring, a).primal)
+        bp = np.asarray(ringops.ensure_primal(eager.ring, b).primal)
+        np.testing.assert_array_equal(ap, bp)
+
+
 def test_bootstrap_n128():
     """Factored bootstrap at N=128 (two butterfly levels per phase,
     radix 16): the production-N shape where dense BSGS would already

@@ -96,21 +96,28 @@ def main():
             ct = rlwe.ct_modswitch_drop(ct)
         return ct
 
-    def chain(kreps):
-        def f(ctx_, c_):
-            out = B.bootstrap(ctx_, c_)
-            for _ in range(kreps - 1):
-                out = B.bootstrap(ctx_, exhaust(out))
-            return out
-        return jax.jit(f)
-
+    # jit with the encoded diagonals as ARGUMENTS (device buffers) — at
+    # production N the inlined constants alone are hundreds of MB and
+    # exceed the remote-compile upload limit (HTTP 413). The record
+    # pass is one eager CPU refresh (also the correctness reference).
     t0 = time.time()
-    f1 = chain(1)
-    lowered = f1.lower(ctx_h, c_h)
+    os.environ["TOYFHE_NTT_IMPL"] = "radix2"
+    with jax.default_device(cpu):
+        items, eager_out = B.record_plain_cache(ctx_h, c_h)
+    os.environ.pop("TOYFHE_NTT_IMPL", None)
+    items = [np.asarray(x) for x in items]
+    mb = sum(x.nbytes for x in items) / 1e6
+    print(f"record (eager cpu): {time.time()-t0:.0f}s  "
+          f"({len(items)} diagonal tensors, {mb:.0f} MB as args)",
+          flush=True)
+    fn = B.jit_bootstrap_replay()
+    t0 = time.time()
+    lowered = fn.lower(ctx_h, c_h, items)
     print(f"trace: {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
-    comp1 = lowered.compile()
+    compiled = lowered.compile()
     print(f"compile: {time.time()-t0:.0f}s", flush=True)
+    comp1 = lambda a, b: compiled(a, b, items)
 
     t0 = time.time()
     out = comp1(ctx_h, c_h)

@@ -683,3 +683,31 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
         return slot_to_coeff_factored(ctx.gks, lo2, hi2, ctx.plan,
                                       factor=factor)
     return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2, factor=factor))
+
+
+def record_plain_cache(ctx: BootstrapContext, c: CipherText):
+    """Run ONE eager refresh capturing every transform-diagonal encode
+    in site order (CE.plaintext_cache "record"). Returns (items, out):
+    host numpy dual tensors + the eager result (a free correctness
+    reference). Run under jax.default_device(cpu) when the default
+    backend is a remote TPU — eager dispatch there is pathological."""
+    cache = CE.PlainCache()
+    with jax.disable_jit(), CE.plaintext_cache(cache, "record"):
+        out = bootstrap(ctx, c)
+    return [np.asarray(x) for x in cache.items], out
+
+
+def jit_bootstrap_replay():
+    """jax.jit(bootstrap) variant taking the encoded transform
+    diagonals as a THIRD ARGUMENT (device buffers, not HLO constants):
+    ``fn(ctx, c, items)`` with ``items`` from :func:`record_plain_cache`.
+    At production N the inlined constants alone are hundreds of MB and
+    exceed remote-compile upload limits (HTTP 413)."""
+
+    def run(ctx_, c_, items_):
+        rc = CE.PlainCache()
+        rc.items = list(items_)
+        with CE.plaintext_cache(rc, "replay"):
+            return bootstrap(ctx_, c_)
+
+    return jax.jit(run)

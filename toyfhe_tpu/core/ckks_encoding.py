@@ -237,10 +237,68 @@ def ct_to(c: CipherText, nlimbs: int, scale: ScaleLike) -> CipherText:
     return rlwe.ct_rescale(mul_plain_scalar_at(c, 1.0, r))
 
 
+# ---------------------------------------------------------------------------
+# Plaintext-encode cache: record trace-time diagonal encodes, replay them
+# as jit ARGUMENTS. Encoded diagonals at production N are hundreds of MB;
+# baked as HLO constants they bloat compiles and can exceed upload limits
+# (remote-compile HTTP 413). Two-pass flow: trace once in "record" mode
+# (encodes run on host as usual, dual forms are captured in site order),
+# then re-trace in "replay" mode with the captured arrays threaded in as
+# pytree leaves — same graph, constants become device buffers.
+# ---------------------------------------------------------------------------
+
+_pt_cache = None
+
+
+class PlainCache:
+    """Site-ordered store of encoded plaintext duals (see above)."""
+
+    def __init__(self):
+        self.items = []           # record: np arrays; replay: traced arrays
+        self.mode = None
+        self.i = 0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def plaintext_cache(cache: PlainCache, mode: str):
+    """Enter record/replay mode for the duration of a trace. In replay,
+    ``cache.items`` may hold traced arrays (jit arguments)."""
+    global _pt_cache
+    assert mode in ("record", "replay")
+    prev = _pt_cache
+    cache.mode = mode
+    cache.i = 0
+    _pt_cache = cache
+    try:
+        yield cache
+    finally:
+        _pt_cache = prev
+        cache.mode = None
+
+
+def _pe_dual_cached(ring: RingContext, encode_fn):
+    """Dual-form encoded plaintext, routed through the active cache."""
+    import jax.numpy as jnp
+
+    cache = _pt_cache
+    if cache is not None and cache.mode == "replay":
+        pe = cache.items[cache.i]
+        cache.i += 1
+        return RingElt(dual=pe)
+    pe = R.ensure_dual(ring, encode_fn()).dual
+    if cache is not None and cache.mode == "record":
+        cache.items.append(np.asarray(pe))
+    return RingElt(dual=pe)
+
+
 def mul_plain_vector(c: CipherText, vec) -> CipherText:
     """c ·ₚ slot vector (ckksencoding.jl:107-113)."""
     scale = _ct_scale(c)
-    pe = ckks_encode(c.ring, np.asarray(vec, dtype=np.complex128), scale)
+    pe = _pe_dual_cached(c.ring, lambda: ckks_encode(
+        c.ring, np.asarray(vec, dtype=np.complex128), scale))
     cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
 
@@ -254,9 +312,13 @@ def mul_plain_vectors(c: CipherText, vecs) -> CipherText:
     import jax.numpy as jnp
 
     scale = _ct_scale(c)
-    vecs = np.asarray(vecs, dtype=np.complex128)
-    pes = [ckks_encode(c.ring, v, scale).primal for v in vecs]
-    pe = RingElt(primal=jnp.stack(pes, axis=0))
+
+    def enc():
+        vs = np.asarray(vecs, dtype=np.complex128)
+        pes = [ckks_encode(c.ring, v, scale).primal for v in vs]
+        return RingElt(primal=jnp.stack(pes, axis=0))
+
+    pe = _pe_dual_cached(c.ring, enc)
     cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
 
