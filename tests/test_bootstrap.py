@@ -10,6 +10,7 @@ import pytest
 
 import toyfhe_tpu as F
 from toyfhe_tpu.core import bootstrap as B
+from toyfhe_tpu.core import rlwe
 from toyfhe_tpu.core import ring as ringops
 from toyfhe_tpu.utils import numtheory as nt
 
@@ -360,6 +361,34 @@ def test_bootstrap_n128():
     out = B.bootstrap(ctx, c)
     assert out.ring.nlimbs >= 5
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=2e-3)
+
+
+def test_batched_bootstrap(deep_mr):
+    """bootstrap_batched refreshes a ct_stack'ed batch in one vmapped
+    program; every element matches its own single-ct refresh."""
+    params, kp, ctx0, k = deep_mr
+    ctx = B.BootstrapContext(ek=ctx0.ek, gks=ctx0.gks, gk_conj=ctx0.gk_conj,
+                             K=5.0, deg=24, plan=ctx0.plan, arcsin=True,
+                             double_angle=2)
+    rng = np.random.default_rng(11)
+    vals, cts = [], []
+    for i in range(2):
+        v = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+        c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, v,
+                                           Fraction(2) ** 27),
+                      jax.random.fold_in(k, i))
+        while c.ring.nlimbs > 1:
+            c = F.ct_modswitch_drop(c)
+        vals.append(v)
+        cts.append(c)
+    out = B.bootstrap_batched(ctx, rlwe.ct_stack(cts))
+    assert out.ring.nlimbs >= 6
+    single0 = B.bootstrap(ctx, cts[0])
+    got0 = F.decrypt(kp, rlwe.ct_index(out, 0))
+    np.testing.assert_allclose(got0, vals[0], atol=5e-4)
+    np.testing.assert_allclose(F.decrypt(kp, rlwe.ct_index(out, 1)),
+                               vals[1], atol=5e-4)
+    np.testing.assert_allclose(got0, F.decrypt(kp, single0), atol=1e-6)
 
 
 def test_eval_poly(setup):

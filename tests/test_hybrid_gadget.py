@@ -135,6 +135,31 @@ def test_hoisted_rotations():
         np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_rotate_sum_lazy_moddown():
+    """rotate_sum computes Σ_g rot_g(term_g) with ONE divide-by-P
+    contraction for the whole batch (the BSGS giant-step schedule).
+    Must agree with the rotate-then-add reference schedule to within
+    contraction rounding, and with the plaintext sum."""
+    from toyfhe_tpu.core.rlwe import galois_element_for_steps
+
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    n = c.ring.n
+    steps = [1, 3, 5]
+    gks = F.keygen_galois_set(jax.random.PRNGKey(21), kp.priv, steps)
+    terms = [(None, c)]                       # identity term, no keyswitch
+    expect = np.array(vals)
+    for s in steps:
+        terms.append((galois_element_for_steps(n, s), c))
+        expect = expect + np.roll(vals, s)
+    lazy = F.rotate_sum(gks, terms)
+    eager = c
+    for s, (g, _) in zip(steps, terms[1:]):
+        eager = F.ct_add(eager, F.rotate(gks.for_element(g), c))
+    got = F.decrypt(kp, lazy)
+    np.testing.assert_allclose(got, expect, atol=1e-3)
+    np.testing.assert_allclose(got, F.decrypt(kp, eager), atol=1e-3)
+
+
 def test_hoisted_conjugation():
     """The conjugation element 2N−1 also rides the hoisted path."""
     params, kp, ek, gk, c, vals = _setup(4, 2)

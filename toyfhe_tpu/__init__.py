@@ -32,7 +32,7 @@ from .core.ckks_encoding import (CKKSPlaintext, CKKSTag, make_plaintext,
                                  mul_plain_vector, add_plain)
 from .core.modraise import ModulusRaised
 from .core.hybrid import HybridRaised
-from .core.rlwe import rotate_many
+from .core.rlwe import rotate_many, rotate_sum
 from .core.insecure import InsecureDebug
 from .core.noise import bgv_noise_budget, ckks_precision, ckks_scale_bits
 from .core.planner import plan_ckks_tower, plan_ckks_ring

@@ -137,7 +137,8 @@ def linear_transform(gks: GaloisKeys, c: CipherText, M: np.ndarray
 
     need = sorted({k % bs for k in range(d) if np.any(diags[k])})
     baby = rotate_steps_many(gks, c, need)      # hoisted where supported
-    out = None
+    n = c.ring.n
+    terms = []
     for g in range(gs):
         inner = None
         for b in range(bs):
@@ -152,12 +153,13 @@ def linear_transform(gks: GaloisKeys, c: CipherText, M: np.ndarray
             inner = term if inner is None else rlwe.ct_add(inner, term)
         if inner is None:
             continue
-        outer = rotate_steps(gks, inner, g * bs)
-        out = outer if out is None else rlwe.ct_add(out, outer)
-    if out is None:                                  # M == 0
+        k = (g * bs) % d
+        terms.append((galois_element_for_steps(n, -k) if k else None, inner))
+    if not terms:                                    # M == 0
         z = mul_plain_vector(c, np.zeros(d))
         return z
-    return out
+    # giant rotations land in ONE lazy-ModDown keyswitch batch
+    return rlwe.rotate_sum(gks, terms)
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +235,8 @@ def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
     need = sorted({b for _, items in groups.items() for b, off in items
                    if np.any(np.asarray(diags[off]))})
     baby = rotate_steps_many(gks, c, need)      # hoisted where supported
-    out = None
+    n = c.ring.n
+    terms = []                    # (galois_element | None, inner_g)
     for g, items in sorted(groups.items()):
         inner = None
         for b, off in items:
@@ -248,11 +251,12 @@ def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
             inner = term if inner is None else rlwe.ct_add(inner, term)
         if inner is None:
             continue
-        outer = rotate_steps(gks, inner, g)
-        out = outer if out is None else rlwe.ct_add(out, outer)
-    if out is None:
+        k = g % (n // 2)
+        terms.append((galois_element_for_steps(n, -k) if k else None, inner))
+    if not terms:
         raise ValueError("all-zero diagonal set")
-    return out
+    # giant rotations land in ONE lazy-ModDown keyswitch batch
+    return rlwe.rotate_sum(gks, terms)
 
 
 def _stack_level(chains, i: int, d: int) -> dict:
@@ -711,3 +715,29 @@ def jit_bootstrap_replay():
             return bootstrap(ctx_, c_)
 
     return jax.jit(run)
+
+
+def bootstrap_batched(ctx: BootstrapContext, cb: CipherText) -> CipherText:
+    """Refresh a BATCH of exhausted ciphertexts (``rlwe.ct_stack``'ed
+    along a leading axis) in one call: ``jax.vmap`` over the ciphertext
+    pytree, keys broadcast. All per-refresh XLA programs fuse into one —
+    on TPU the 1-s/refresh wall at small N is dispatch-chain-bound, so
+    batching amortizes it nearly ×B (docs/performance.md). Recover
+    elements with ``rlwe.ct_index``. Beyond the reference (no bootstrap,
+    no batching — README.md:73-79)."""
+    return jax.vmap(lambda c_: bootstrap(ctx, c_))(cb)
+
+
+def jit_bootstrap_batched_replay():
+    """jit(vmap(bootstrap)) with the encoded transform diagonals as a
+    third argument (see :func:`jit_bootstrap_replay`): ``fn(ctx, cb,
+    items)``; record ``items`` once with :func:`record_plain_cache` on a
+    single (unbatched) ciphertext — the diagonals are data-independent."""
+
+    def run(ctx_, c_, items_):
+        rc = CE.PlainCache()
+        rc.items = list(items_)
+        with CE.plaintext_cache(rc, "replay"):
+            return bootstrap(ctx_, c_)
+
+    return jax.jit(jax.vmap(run, in_axes=(None, 0, None)))

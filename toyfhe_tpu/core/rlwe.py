@@ -678,21 +678,8 @@ def _keyswitch_hybrid(params, ek: KeySwitchKey, c: CipherText) -> CipherText:
     metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
     ddual = nttmod.ntt(exp_ring.tables, digits)
 
-    key_ring = ek.ring
-    which = params.hybrid_key_limbs(exp_ring)
-    masks, maskeds = [], []
-    for comp in ek.key[:int(digits.shape[0])]:
-        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask), which)
-        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked), which)
-        masks.append(m.dual)
-        maskeds.append(md.dual)
-    masks = jnp.stack(masks, 0)
-    maskeds = jnp.stack(maskeds, 0)
-    extra = ddual.ndim - 3
-    if extra:
-        shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
-        masks = masks.reshape(shp)
-        maskeds = maskeds.reshape(shp)
+    masks, maskeds = _hybrid_key_stack(params, ek, exp_ring,
+                                       int(digits.shape[0]), ddual.ndim - 3)
     mp = exp_ring.mp
     acc2 = _mod_sum(modmath.mul_mod(masks, ddual, mp), mp)
     acc1 = _mod_sum(modmath.mul_mod(maskeds, ddual, mp), mp)
@@ -770,9 +757,6 @@ def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
     metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
     ddual = nttmod.ntt(exp_ring.tables, digits)           # [ndig, Le, N]
     c0d = R.ensure_dual(ring, c.cs[0]).dual
-    mp = exp_ring.mp
-    key_ring = params.ring_key
-    which = params.hybrid_key_limbs(exp_ring)
     ndig = int(digits.shape[0])
 
     outs = {}
@@ -782,21 +766,8 @@ def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
         metrics.count("keyswitch")
         perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
         pd = jnp.take(ddual, perm, axis=-1)
-        masks, maskeds = [], []
-        for comp in gk.key.key[:ndig]:
-            _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
-                                 which)
-            _, md = R.limb_select(key_ring,
-                                  R.ensure_dual(key_ring, comp.masked), which)
-            masks.append(m.dual)
-            maskeds.append(md.dual)
-        masks = jnp.stack(masks, 0)
-        maskeds = jnp.stack(maskeds, 0)
-        extra = pd.ndim - 3
-        if extra:
-            shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
-            masks = masks.reshape(shp)
-            maskeds = maskeds.reshape(shp)
+        masks, maskeds = _hybrid_key_stack(params, gk.key, exp_ring, ndig,
+                                           pd.ndim - 3)
         mp3 = exp_ring.mp
         acc2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
         acc1 = _mod_sum(modmath.mul_mod(maskeds, pd, mp3), mp3)
@@ -807,6 +778,101 @@ def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
         outs[g] = CipherText(c.params, (R.add(ring, c0_rot, a1), a2), ring,
                              enc=c.enc)
     return outs
+
+
+def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
+    """Σ_g rot_g(term_g) for ``terms`` = [(galois_element | None, ct)]
+    (None = identity, no keyswitch). Lazy ModDown: on the hybrid gadget
+    the per-rotation keyswitch accumulators are summed in the raised
+    tower Q_t ∪ P and ``hybrid_contract`` (the divide-by-P base
+    conversion) runs ONCE for the whole sum instead of once per
+    rotation — the BSGS giant-step loop's workhorse (Bossuat et al.
+    eprint 2020/1203 §3.2 "lazy rescaling"; beyond the reference, which
+    rotates one ciphertext at a time, rlwe_she.jl:355-360). One rounding
+    for the batch also means strictly less contraction noise than the
+    rotate-then-add schedule. Falls back to rotate()+ct_add when the
+    params carry no hybrid gadget."""
+    terms = [(g, t) for (g, t) in terms if t is not None]
+    assert terms, "rotate_sum of an empty term list"
+    params = terms[0][1].params
+    rotated_terms = [(g, t) for (g, t) in terms if g is not None and g != 1]
+    if (getattr(params, "hybrid_decompose", None) is None
+            or any(len(t.cs) != 2 for _, t in terms)):
+        out = None
+        for g, t in terms:
+            r = t if (g is None or g == 1) else rotate(gks.for_element(g), t)
+            out = r if out is None else ct_add(out, r)
+        return out
+
+    from ..ops import ntt as nttmod
+    from ..utils import metrics
+
+    c0_ident = None                      # identity terms: plain dual adds
+    for g, t in terms:
+        if g is None or g == 1:
+            c0_ident = t if c0_ident is None else ct_add(c0_ident, t)
+    if not rotated_terms:
+        return c0_ident
+
+    ring = rotated_terms[0][1].ring
+    n = ring.n
+    mp = ring.mp
+    acc1s = acc2s = None                 # raised-tower accumulators (dual)
+    c0s = None                           # base-tower Σ σ_g(c0) (dual)
+    exp_ring = None
+    for g, t in rotated_terms:
+        assert t.ring is ring, "rotate_sum terms must share one tower"
+        gk = gks.for_element(g)
+        metrics.count("rotate")
+        metrics.count("keyswitch")
+        exp_ring, digits = params.hybrid_decompose(ring, t.cs[1])
+        metrics.count("ntt_limb_transform",
+                      int(digits.shape[0]) * exp_ring.nlimbs)
+        ddual = nttmod.ntt(exp_ring.tables, digits)
+        perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
+        pd = jnp.take(ddual, perm, axis=-1)          # σ_g ∘ decompose
+        masks, maskeds = _hybrid_key_stack(params, gk.key, exp_ring,
+                                           int(digits.shape[0]),
+                                           pd.ndim - 3)
+        mp3 = exp_ring.mp
+        a2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
+        a1 = _mod_sum(modmath.mul_mod(maskeds, pd, mp3), mp3)
+        acc1s = a1 if acc1s is None else modmath.add_mod(acc1s, a1, mp3)
+        acc2s = a2 if acc2s is None else modmath.add_mod(acc2s, a2, mp3)
+        c0g = jnp.take(R.ensure_dual(ring, t.cs[0]).dual, perm, axis=-1)
+        c0s = c0g if c0s is None else modmath.add_mod(c0s, c0g, mp)
+
+    out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1s))
+    _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2s))
+    assert out_ring is ring
+    t0 = rotated_terms[0][1]
+    out = CipherText(params, (R.add(ring, RingElt(dual=c0s), a1), a2),
+                     ring, enc=t0.enc)
+    return out if c0_ident is None else ct_add(out, c0_ident)
+
+
+def _hybrid_key_stack(params, ksk: KeySwitchKey, exp_ring: RingContext,
+                      ndig: int, extra: int):
+    """Stack a hybrid key's components as dual tensors [ndig, Le, N]
+    restricted to the expanded tower, with ``extra`` broadcast axes
+    inserted for batched ciphertexts."""
+    key_ring = ksk.ring
+    which = params.hybrid_key_limbs(exp_ring)
+    masks, maskeds = [], []
+    for comp in ksk.key[:ndig]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
+                             which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked),
+                              which)
+        masks.append(m.dual)
+        maskeds.append(md.dual)
+    masks = jnp.stack(masks, 0)
+    maskeds = jnp.stack(maskeds, 0)
+    if extra:
+        shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
+        masks = masks.reshape(shp)
+        maskeds = maskeds.reshape(shp)
+    return masks, maskeds
 
 
 def modswitch(c: CipherText, new_modulus=None) -> CipherText:
