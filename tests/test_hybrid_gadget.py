@@ -160,6 +160,50 @@ def test_rotate_sum_lazy_moddown():
     np.testing.assert_allclose(got, F.decrypt(kp, eager), atol=1e-3)
 
 
+@pytest.mark.parametrize("label", ["modraise", "plain-rns"])
+def test_hoisting_other_gadgets(label):
+    """rotate_many/rotate_sum fast paths also cover the ModulusRaised
+    and plain centered-RNS gadgets (any window=0 decomposition commutes
+    with the signed galois permutation; raw 2^w windows do not). For the
+    identity-contract plain gadget the lazy path is bit-identical to
+    rotate()+add; for ModulusRaised it matches to contraction rounding.
+    The plain window-0 gadget's keyswitch noise drowns the message
+    (that's what ModulusRaised is FOR) — so plain-rns checks only
+    hoisted-vs-eager agreement, not decoded values."""
+    from toyfhe_tpu.core.rlwe import galois_element_for_steps
+
+    ring = F.make_rns_ring(N, (28,) * 6 + (30,))
+    params = (F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+              if label == "modraise" else F.CKKSParams(ring, 0, 3.2))
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    kp = F.keygen(params, ks[0])
+    rng = np.random.default_rng(7)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.8
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 26), ks[3])
+    steps = [1, 2, 5]
+    gks = F.keygen_galois_set(jax.random.PRNGKey(11), kp.priv, steps)
+    els = [galois_element_for_steps(c.ring.n, s) for s in steps]
+    exact = label == "plain-rns"
+    hoisted = F.rotate_many(gks, c, els)
+    for s, g in zip(steps, els):
+        got = F.decrypt(kp, hoisted[g])
+        ref = F.decrypt(kp, F.rotate(gks.for_element(g), c))
+        np.testing.assert_allclose(got, ref, atol=1e-9 if exact else 2e-4)
+        if not exact:
+            np.testing.assert_allclose(got, np.roll(vals, s), atol=2e-4)
+    got = F.decrypt(kp, F.rotate_sum(gks, [(None, c)] + [(g, c)
+                                                         for g in els]))
+    if exact:
+        ref = c
+        for g in els:
+            ref = F.ct_add(ref, F.rotate(gks.for_element(g), c))
+        np.testing.assert_allclose(got, F.decrypt(kp, ref), atol=1e-9)
+    else:
+        expect = vals + sum(np.roll(vals, s) for s in steps)
+        np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
 def test_hoisted_conjugation():
     """The conjugation element 2N−1 also rides the hoisted path."""
     params, kp, ek, gk, c, vals = _setup(4, 2)

@@ -45,6 +45,33 @@ def test_preprocess_matches_patches():
             np.testing.assert_allclose(I[i, j], expect, atol=1e-6)
 
 
+def test_bsgs_matmul_matches_iterated():
+    """encrypted_matmul_bsgs (hoisted babies + lazy-ModDown giants,
+    2√d keyswitches) agrees with the reference d-rotation schedule
+    (infer.jl:141-150) and with the plaintext matmul."""
+    from fractions import Fraction
+
+    cfg = SMALL
+    kf, ke = jax.random.split(jax.random.PRNGKey(4), 2)
+    setup = M.fhe_setup(cfg, kf)
+    d = cfg.positions
+    rng = np.random.default_rng(5)
+    W = rng.uniform(-1, 1, (d, d))
+    xfeat = rng.uniform(-1, 1, d)
+    slots = M._rep_inner(xfeat, cfg.batch).astype(complex)
+    import toyfhe_tpu as F
+    c = F.encrypt(setup.kp,
+                  F.make_plaintext(setup.params.ring_cipher, slots,
+                                   setup.scale), ke)
+    gks = M.keygen_matmul_bsgs(setup, jax.random.PRNGKey(6))
+    out_bsgs = F.decrypt(setup.kp, M.encrypted_matmul_bsgs(
+        setup, gks, W, c)).real
+    out_iter = F.decrypt(setup.kp, M.encrypted_matmul(setup, W, c)).real
+    expect = M._rep_inner(W @ xfeat, cfg.batch)
+    np.testing.assert_allclose(out_bsgs, expect, atol=1e-3)
+    np.testing.assert_allclose(out_bsgs, out_iter, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_encrypted_inference_label_agreement():
     cfg = SMALL
@@ -62,3 +89,12 @@ def test_encrypted_inference_label_agreement():
     # the reference's headline assertion: encrypted labels == plain labels
     # (infer.jl:179-207)
     assert np.array_equal(np.argmax(enc_logits.T, -1), np.argmax(plain_logits, -1))
+
+    # BSGS dense layers (hoisted babies, layer-wide lazy ModDown) must
+    # reproduce the same logits at the same noise class
+    gks = M.keygen_matmul_bsgs(setup, jax.random.PRNGKey(9))
+    bsgs_logits = M.encrypted_inference(setup, params, imgs, ke,
+                                        gks_bsgs=gks)
+    np.testing.assert_allclose(bsgs_logits, enc_logits, atol=1e-2)
+    assert np.array_equal(np.argmax(bsgs_logits.T, -1),
+                          np.argmax(plain_logits, -1))

@@ -1,10 +1,12 @@
 """Production-N CKKS bootstrap on the real TPU chip.
 
-Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum]
-        (defaults: logN=11, radix=16, h=8, dnum=0)
+Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum] [batch]
+        (defaults: logN=11, radix=16, h=8, dnum=0, batch=1)
         dnum=0 → ModulusRaised per-limb gadget, one special prime;
         dnum>0 → HybridRaised dnum-grouped gadget (core/hybrid.py) with
         ceil(L/dnum)+1 raising primes.
+        batch>1 → refresh `batch` ciphertexts per program
+        (bootstrap_batched); reports ms **per refresh**.
 
 Pipeline: keygen/encode/setup run EAGERLY ON CPU (eager dispatch over
 the TPU tunnel is pathological — docs/performance.md), all device state
@@ -35,6 +37,7 @@ def main():
     radix = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     dnum = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     import jax
     import jax.numpy as jnp
@@ -75,11 +78,17 @@ def main():
         ctx = B.setup_bootstrap(ks[1], kp.priv, K=K, deg=deg, radix=radix,
                                 arcsin=True)
         rng = np.random.default_rng(3)
-        vals = (rng.uniform(-1, 1, d) + 1j * rng.uniform(-1, 1, d)) * 0.7
-        c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
-                                           Fraction(2) ** 27), ks[2])
-        while c.ring.nlimbs > 1:
-            c = F.ct_modswitch_drop(c)
+        all_vals, cts = [], []
+        for i in range(batch):
+            v = (rng.uniform(-1, 1, d) + 1j * rng.uniform(-1, 1, d)) * 0.7
+            ci = F.encrypt(kp, F.make_plaintext(params.ring_cipher, v,
+                                                Fraction(2) ** 27),
+                           jax.random.fold_in(ks[2], i))
+            while ci.ring.nlimbs > 1:
+                ci = F.ct_modswitch_drop(ci)
+            all_vals.append(v)
+            cts.append(ci)
+        vals, c = all_vals[0], cts[0]
     print(f"setup (cpu): {time.time()-t0:.0f}s  N={n} d={d} L={L} "
           f"radix={radix} h={h} K={K} deg={deg} "
           f"rotkeys={len(ctx.gks.keys)}", flush=True)
@@ -89,6 +98,11 @@ def main():
     # (TPU) backend and transfers inputs once
     host = lambda t: jax.tree_util.tree_map(np.asarray, t)
     ctx_h, c_h = host(ctx), host(c)
+    if batch > 1:
+        from toyfhe_tpu.core import rlwe
+        drive_h = host(rlwe.ct_stack(cts))
+    else:
+        drive_h = c_h
 
     def exhaust(ct):
         from toyfhe_tpu.core import rlwe
@@ -110,9 +124,10 @@ def main():
     print(f"record (eager cpu): {time.time()-t0:.0f}s  "
           f"({len(items)} diagonal tensors, {mb:.0f} MB as args)",
           flush=True)
-    fn = B.jit_bootstrap_replay()
+    fn = (B.jit_bootstrap_batched_replay() if batch > 1
+          else B.jit_bootstrap_replay())
     t0 = time.time()
-    lowered = fn.lower(ctx_h, c_h, items)
+    lowered = fn.lower(ctx_h, drive_h, items)
     print(f"trace: {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     compiled = lowered.compile()
@@ -120,7 +135,7 @@ def main():
     comp1 = lambda a, b: compiled(a, b, items)
 
     t0 = time.time()
-    out = comp1(ctx_h, c_h)
+    out = comp1(ctx_h, drive_h)
     sync = np.asarray(out.cs[0].dual if out.cs[0].dual is not None
                       else out.cs[0].primal)
     print(f"run1 (incl transfer): {time.time()-t0:.1f}s", flush=True)
@@ -133,34 +148,40 @@ def main():
     # dispatch + sync cost cancels to first order; bootstrap wall is
     # ~100× the floor, so the correction is small anyway.
     import jax as _jax
-    pick = ((lambda c_: c_.cs[0].dual) if c_h.cs[0].dual is not None
+    pick = ((lambda c_: c_.cs[0].dual) if drive_h.cs[0].dual is not None
             else (lambda c_: c_.cs[0].primal))
-    floor_fn = _jax.jit(lambda c_: pick(c_) + 1).lower(c_h).compile()
-    np.asarray(floor_fn(c_h))
+    floor_fn = _jax.jit(lambda c_: pick(c_) + 1).lower(drive_h).compile()
+    np.asarray(floor_fn(drive_h))
     floors, times = [], []
     for r in range(7):
         t0 = time.time()
-        np.asarray(floor_fn(c_h))
+        np.asarray(floor_fn(drive_h))
         floors.append(time.time() - t0)
         t0 = time.time()
-        o = comp1(ctx_h, c_h)
+        o = comp1(ctx_h, drive_h)
         np.asarray(o.cs[0].dual if o.cs[0].dual is not None
                    else o.cs[0].primal)
         times.append(time.time() - t0)
-    slope = min(times) - min(floors)
-    print(f"bootstrap wall: {slope*1e3:.1f} ms "
-          f"(min run={min(times):.3f}s dispatch floor={min(floors):.3f}s)",
+    slope = (min(times) - min(floors)) / batch
+    print(f"bootstrap wall: {slope*1e3:.1f} ms/refresh (batch={batch}, "
+          f"min run={min(times):.3f}s dispatch floor={min(floors):.3f}s)",
           flush=True)
 
     # correctness: decrypt on CPU (radix-2 again — CPU-resident arrays)
+    from toyfhe_tpu.core import rlwe as _rlwe
     os.environ["TOYFHE_NTT_IMPL"] = "radix2"
+    err = 0.0
     with jax.default_device(cpu):
-        got = F.decrypt(kp, host(out))
-    err = float(np.max(np.abs(got - vals)))
+        out_h = host(out)
+        for i in range(batch):
+            oi = _rlwe.ct_index(out_h, i) if batch > 1 else out_h
+            got = F.decrypt(kp, oi)
+            err = max(err, float(np.max(np.abs(got - all_vals[i]))))
     print(json.dumps({
         "metric": f"ckks_bootstrap_ms_n2^{logn}"
-                  + (f"_dnum{dnum}" if dnum else ""),
-        "value": round(slope * 1e3, 1), "unit": "ms",
+                  + (f"_dnum{dnum}" if dnum else "")
+                  + (f"_b{batch}" if batch > 1 else ""),
+        "value": round(slope * 1e3, 1), "unit": "ms/refresh",
         "out_levels": out.ring.nlimbs, "max_err": err,
         "backend": jax.default_backend()}), flush=True)
 

@@ -729,6 +729,76 @@ def rotate(gk, c: CipherText, steps: Optional[int] = None) -> CipherText:
     return keyswitch(gk, apply_galois_ct(c, gk.galois_element))
 
 
+class _HoistGadget:
+    """Gadget adapter for the hoisted-rotation paths (:func:`rotate_many`
+    / :func:`rotate_sum`). Valid only where σ_g commutes with the digit
+    map: the hybrid gadget and centered-RNS digits (relin_window == 0 —
+    odd primes make the centered lift an odd function, so the signed
+    coefficient permutation passes through the decomposition AND through
+    the ModulusRaised expand, which is a per-coefficient scalar multiply).
+    Raw base-2^w windowed digits are UNSIGNED (rlwe_she.jl:331-338) and
+    do not commute — those params fall back to per-rotation rotate()."""
+
+    def __init__(self, params, ring: RingContext):
+        self.params = params
+        self.ring = ring
+        self.hybrid = getattr(params, "hybrid_decompose", None) is not None
+        self.exp_ring: Optional[RingContext] = None
+        self.ndig = 0
+
+    @staticmethod
+    def supports(params, c: CipherText) -> bool:
+        return len(c.cs) == 2 and (
+            getattr(params, "hybrid_decompose", None) is not None
+            or getattr(params, "relin_window", None) == 0)
+
+    def decompose_dual(self, elt: RingElt) -> jnp.ndarray:
+        """[ndig, Le, N] digit tensor in the (expanded) tower's dual
+        domain; paid once per hoist batch."""
+        from ..ops import ntt as nttmod
+        from ..utils import metrics
+        if self.hybrid:
+            self.exp_ring, digits = self.params.hybrid_decompose(self.ring,
+                                                                 elt)
+        else:
+            expand = getattr(self.params, "keyswitch_expand", None)
+            if expand is not None:
+                self.exp_ring, _ = expand(self.ring,
+                                          R.zero_like(self.ring, elt))
+            else:
+                self.exp_ring = self.ring
+            digits = gadget_decompose(self.ring, self.exp_ring, elt, 0)
+        self.ndig = int(digits.shape[0])
+        metrics.count("ntt_limb_transform", self.ndig * self.exp_ring.nlimbs)
+        return nttmod.ntt(self.exp_ring.tables, digits)
+
+    def key_stack(self, ksk: KeySwitchKey, extra: int):
+        if self.hybrid:
+            return _hybrid_key_stack(self.params, ksk, self.exp_ring,
+                                     self.ndig, extra)
+        masks, maskeds = _downswitch_stack(self.params, ksk, self.exp_ring,
+                                           self.ndig)
+        if extra:
+            shp = masks.shape[:1] + (1,) * extra + masks.shape[1:]
+            masks = masks.reshape(shp)
+            maskeds = maskeds.reshape(shp)
+        return masks, maskeds
+
+    def contract(self, acc_dual: jnp.ndarray) -> RingElt:
+        """ModDown the raised accumulator back to the base tower (a
+        no-op for the plain RNS gadget)."""
+        elt = RingElt(dual=acc_dual)
+        if self.hybrid:
+            out_ring, e = self.params.hybrid_contract(self.exp_ring, elt)
+        else:
+            hook = getattr(self.params, "keyswitch_contract", None)
+            if hook is None:
+                return elt
+            out_ring, e = hook(self.exp_ring, elt)
+        assert out_ring is self.ring
+        return e
+
+
 def rotate_many(gks: GaloisKeys, c: CipherText, elements) -> dict:
     """Hoisted rotations: {galois_element: rotated ct} for a batch of
     elements, sharing ONE gadget decomposition + digit NTT.
@@ -738,26 +808,21 @@ def rotate_many(gks: GaloisKeys, c: CipherText, elements) -> dict:
     dual domain as the pure permutation ``ntt.galois_dual_perm``; so the
     per-rotation cost drops to a digit gather + key contraction +
     contract — the (ndig·Le)-transform decomposition is paid once
-    (HElib/SEAL "hoisting"; beyond the reference). Hybrid-gadget params
-    take the fast path; everything else falls back to rotate()."""
+    (HElib/SEAL "hoisting"; beyond the reference). Hybrid-gadget and
+    centered-RNS (window=0, incl. ModulusRaised) params take the fast
+    path; unsigned windowed digits fall back to rotate()."""
     params = c.params
-    if getattr(params, "hybrid_decompose", None) is None or len(c.cs) != 2:
+    if not _HoistGadget.supports(params, c):
         return {g: rotate(gks.for_element(g), c) for g in elements}
-    return _rotate_many_hybrid(params, gks, c, list(elements))
-
-
-def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
-                        elements) -> dict:
     from ..ops import ntt as nttmod
     from ..utils import metrics
 
     ring = c.ring
     n = ring.n
-    exp_ring, digits = params.hybrid_decompose(ring, c.cs[1])
-    metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
-    ddual = nttmod.ntt(exp_ring.tables, digits)           # [ndig, Le, N]
+    gad = _HoistGadget(params, ring)
+    ddual = gad.decompose_dual(c.cs[1])                   # [ndig, Le, N]
     c0d = R.ensure_dual(ring, c.cs[0]).dual
-    ndig = int(digits.shape[0])
+    mp3 = gad.exp_ring.mp
 
     outs = {}
     for g in elements:
@@ -766,14 +831,11 @@ def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
         metrics.count("keyswitch")
         perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
         pd = jnp.take(ddual, perm, axis=-1)
-        masks, maskeds = _hybrid_key_stack(params, gk.key, exp_ring, ndig,
-                                           pd.ndim - 3)
-        mp3 = exp_ring.mp
+        masks, maskeds = gad.key_stack(gk.key, pd.ndim - 3)
         acc2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
         acc1 = _mod_sum(modmath.mul_mod(maskeds, pd, mp3), mp3)
-        out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1))
-        _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2))
-        assert out_ring is ring
+        a1 = gad.contract(acc1)
+        a2 = gad.contract(acc2)
         c0_rot = RingElt(dual=jnp.take(c0d, perm, axis=-1))
         outs[g] = CipherText(c.params, (R.add(ring, c0_rot, a1), a2), ring,
                              enc=c.enc)
@@ -782,22 +844,21 @@ def _rotate_many_hybrid(params, gks: GaloisKeys, c: CipherText,
 
 def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
     """Σ_g rot_g(term_g) for ``terms`` = [(galois_element | None, ct)]
-    (None = identity, no keyswitch). Lazy ModDown: on the hybrid gadget
-    the per-rotation keyswitch accumulators are summed in the raised
-    tower Q_t ∪ P and ``hybrid_contract`` (the divide-by-P base
-    conversion) runs ONCE for the whole sum instead of once per
-    rotation — the BSGS giant-step loop's workhorse (Bossuat et al.
-    eprint 2020/1203 §3.2 "lazy rescaling"; beyond the reference, which
-    rotates one ciphertext at a time, rlwe_she.jl:355-360). One rounding
-    for the batch also means strictly less contraction noise than the
-    rotate-then-add schedule. Falls back to rotate()+ct_add when the
-    params carry no hybrid gadget."""
+    (None = identity, no keyswitch). Lazy ModDown: the per-rotation
+    keyswitch accumulators are summed in the raised tower and the
+    contraction (divide-by-P base conversion) runs ONCE for the whole
+    sum instead of once per rotation — the BSGS giant-step loop's
+    workhorse (Bossuat et al. eprint 2020/1203 §3.2 "lazy rescaling";
+    beyond the reference, which rotates one ciphertext at a time,
+    rlwe_she.jl:355-360). One rounding for the batch also means strictly
+    less contraction noise than the rotate-then-add schedule. Valid for
+    the hybrid and centered-RNS (window=0, incl. ModulusRaised) gadgets;
+    other params fall back to rotate()+ct_add."""
     terms = [(g, t) for (g, t) in terms if t is not None]
     assert terms, "rotate_sum of an empty term list"
     params = terms[0][1].params
     rotated_terms = [(g, t) for (g, t) in terms if g is not None and g != 1]
-    if (getattr(params, "hybrid_decompose", None) is None
-            or any(len(t.cs) != 2 for _, t in terms)):
+    if not all(_HoistGadget.supports(params, t) for _, t in terms):
         out = None
         for g, t in terms:
             r = t if (g is None or g == 1) else rotate(gks.for_element(g), t)
@@ -817,24 +878,19 @@ def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
     ring = rotated_terms[0][1].ring
     n = ring.n
     mp = ring.mp
+    gad = _HoistGadget(params, ring)
     acc1s = acc2s = None                 # raised-tower accumulators (dual)
     c0s = None                           # base-tower Σ σ_g(c0) (dual)
-    exp_ring = None
     for g, t in rotated_terms:
         assert t.ring is ring, "rotate_sum terms must share one tower"
         gk = gks.for_element(g)
         metrics.count("rotate")
         metrics.count("keyswitch")
-        exp_ring, digits = params.hybrid_decompose(ring, t.cs[1])
-        metrics.count("ntt_limb_transform",
-                      int(digits.shape[0]) * exp_ring.nlimbs)
-        ddual = nttmod.ntt(exp_ring.tables, digits)
+        ddual = gad.decompose_dual(t.cs[1])
         perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
         pd = jnp.take(ddual, perm, axis=-1)          # σ_g ∘ decompose
-        masks, maskeds = _hybrid_key_stack(params, gk.key, exp_ring,
-                                           int(digits.shape[0]),
-                                           pd.ndim - 3)
-        mp3 = exp_ring.mp
+        masks, maskeds = gad.key_stack(gk.key, pd.ndim - 3)
+        mp3 = gad.exp_ring.mp
         a2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
         a1 = _mod_sum(modmath.mul_mod(maskeds, pd, mp3), mp3)
         acc1s = a1 if acc1s is None else modmath.add_mod(acc1s, a1, mp3)
@@ -842,9 +898,8 @@ def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
         c0g = jnp.take(R.ensure_dual(ring, t.cs[0]).dual, perm, axis=-1)
         c0s = c0g if c0s is None else modmath.add_mod(c0s, c0g, mp)
 
-    out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1s))
-    _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2s))
-    assert out_ring is ring
+    a1 = gad.contract(acc1s)
+    a2 = gad.contract(acc2s)
     t0 = rotated_terms[0][1]
     out = CipherText(params, (R.add(ring, RingElt(dual=c0s), a1), a2),
                      ring, enc=t0.enc)

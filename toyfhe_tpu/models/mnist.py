@@ -234,10 +234,99 @@ def naive_rectangular_matmul(setup: FHESetup, weights: np.ndarray, x):
     return encrypted_matmul(setup, wpad, x)
 
 
+def keygen_matmul_bsgs(setup: FHESetup, rng, d: Optional[int] = None):
+    """Galois keys for :func:`encrypted_matmul_bsgs`: baby steps
+    b·batch slots (b < bs) and giant steps g·bs·batch (g < gs) —
+    O(√d) keys instead of the single iterated step-`batch` key."""
+    from ..core import bootstrap as B
+
+    d = d if d is not None else setup.cfg.positions
+    bs, gs = B.bsgs_split(d)
+    inner = setup.cfg.batch
+    steps = sorted({b * inner for b in range(1, bs)}
+                   | {g * bs * inner for g in range(1, gs)})
+    return F.keygen_galois_set(rng, setup.kp.priv, steps)
+
+
+def encrypted_matmul_bsgs(setup: FHESetup, gks, weights: np.ndarray, x):
+    """BSGS rotation matmul with hoisting and lazy ModDown — the
+    serving-grade schedule for the dense layers (beyond the reference's
+    d-rotation loop, infer.jl:141-150):
+
+      * baby rotations share ONE gadget decomposition + digit NTT
+        (rlwe.rotate_many);
+      * giant-step keyswitches accumulate in the raised tower and pay
+        ONE contraction for the whole matrix (rlwe.rotate_sum);
+      * d diagonal muls total, but only bs+gs−2 ≈ 2√d distinct
+        keyswitches (vs d−1 sequential ones).
+
+    Bit-compatible semantics with :func:`encrypted_matmul` (same
+    diagonals, same rotations, different — strictly lower-noise —
+    keyswitch schedule). ``gks`` from :func:`keygen_matmul_bsgs`."""
+    from ..core import rlwe
+
+    terms = _bsgs_matmul_terms(setup, gks, weights, x)
+    if not terms:
+        return F.mul_plain_vector(x, np.zeros(x.ring.n // 2))
+    return rlwe.rotate_sum(gks, terms)
+
+
+def _bsgs_matmul_terms(setup: FHESetup, gks, weights: np.ndarray, x):
+    """The giant-step term list [(galois_element | None, inner_sum)] of
+    the BSGS matmul — exposed so several matmuls feeding one sum (the
+    per-channel dense1 blocks) can merge their terms and pay a single
+    rotate_sum contraction for the whole layer."""
+    from ..core import bootstrap as B
+    from ..core import rlwe
+
+    d = weights.shape[1]
+    inner = setup.cfg.batch
+    n = x.ring.n
+    bs, gs = B.bsgs_split(d)
+    els_b = {b: rlwe.galois_element_for_steps(n, b * inner)
+             for b in range(1, bs)}
+    hoisted = rlwe.rotate_many(gks, x, sorted(set(els_b.values())))
+    baby_ct = {0: x, **{b: hoisted[e] for b, e in els_b.items()}}
+    terms = []
+    for g in range(gs):
+        acc = None
+        for b in range(bs):
+            k = g * bs + b
+            if k >= d:
+                break
+            diag = np.diag(np.roll(weights, k, axis=1))
+            if not np.any(diag):
+                continue
+            vec = _rep_inner(np.roll(diag, -g * bs), inner)
+            term = F.mul_plain_vector(baby_ct[b], vec)
+            acc = term if acc is None else F.ct_add(acc, term)
+        if acc is None:
+            continue
+        el = (rlwe.galois_element_for_steps(n, g * bs * inner)
+              if g else None)
+        terms.append((el, acc))
+    return terms
+
+
+def _merge_bsgs_terms(term_lists):
+    """Merge several matmuls' term lists by galois element (inner sums
+    add ciphertext-wise) so rotate_sum decomposes each element once."""
+    by_el = {}
+    for terms in term_lists:
+        for el, ct in terms:
+            by_el[el] = ct if el not in by_el else F.ct_add(by_el[el], ct)
+    return list(by_el.items())
+
+
 def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
-                        rng):
+                        rng, gks_bsgs=None):
     """Full encrypted forward pass (infer.jl:115-177). Returns the
-    decrypted logits matrix [classes, B]."""
+    decrypted logits matrix [classes, B].
+
+    With ``gks_bsgs`` (from :func:`keygen_matmul_bsgs`) the dense layers
+    run the hoisted BSGS schedule — ~2√d keyswitches per matmul instead
+    of d−1, and dense1's four channel blocks share one lazy-ModDown
+    contraction."""
     cfg = setup.cfg
     ring = setup.params.ring_cipher
     I = public_preprocess(cfg, batch)
@@ -270,11 +359,17 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
     # dense1: sum of per-channel-block diagonal matmuls (infer.jl:158-160)
     w1 = np.asarray(model_params["w1"])
     d = cfg.positions
-    fq1 = None
-    for ci in range(cfg.channels):
-        blk = w1[:, ci * d:(ci + 1) * d]
-        part = encrypted_matmul(setup, blk, sqed1[ci])
-        fq1 = part if fq1 is None else F.ct_add(fq1, part)
+    if gks_bsgs is not None:
+        from ..core import rlwe
+        fq1 = rlwe.rotate_sum(gks_bsgs, _merge_bsgs_terms(
+            [_bsgs_matmul_terms(setup, gks_bsgs, w1[:, ci * d:(ci + 1) * d],
+                                sqed1[ci]) for ci in range(cfg.channels)]))
+    else:
+        fq1 = None
+        for ci in range(cfg.channels):
+            blk = w1[:, ci * d:(ci + 1) * d]
+            part = encrypted_matmul(setup, blk, sqed1[ci])
+            fq1 = part if fq1 is None else F.ct_add(fq1, part)
     fq1 = F.add_plain(fq1, _rep_inner(np.asarray(model_params["b1"]), cfg.batch))
     fq1 = F.ct_rescale(fq1)
 
@@ -283,7 +378,11 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
 
     # dense2: rectangular matmul + bias (infer.jl:169-177)
     w2 = np.asarray(model_params["w2"])
-    out = naive_rectangular_matmul(setup, w2, sqed2)
+    if gks_bsgs is not None:
+        wpad = np.vstack([w2, np.zeros((d - w2.shape[0], d))])
+        out = encrypted_matmul_bsgs(setup, gks_bsgs, wpad, sqed2)
+    else:
+        out = naive_rectangular_matmul(setup, w2, sqed2)
     b2pad = np.concatenate([np.asarray(model_params["b2"]),
                             np.zeros(d - cfg.classes)])
     out = F.add_plain(out, _rep_inner(b2pad, cfg.batch))
