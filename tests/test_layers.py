@@ -192,6 +192,14 @@ def test_fast_mnist_pipeline():
     assert np.abs(enc.T - plain).max() < 0.5
     assert np.array_equal(np.argmax(enc.T, -1), np.argmax(plain, -1))
 
+    # compiled BSGS dense layers (hoisting + lazy ModDown in one jit per
+    # layer): same labels, logits within the keyswitch-noise class
+    gks = M.keygen_matmul_bsgs(setup, jax.random.PRNGKey(9))
+    enc_bsgs = M.encrypted_inference_fast(setup, params, imgs, ke,
+                                          gks_bsgs=gks)
+    assert np.abs(enc_bsgs - enc).max() < 1e-2
+    assert np.array_equal(np.argmax(enc_bsgs.T, -1), np.argmax(plain, -1))
+
 
 def test_hybrid_window_layer_bitexact():
     """Windowed (hybrid) gadget in the compiled layers matches the eager

@@ -7,6 +7,9 @@ Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum] [batch]
         ceil(L/dnum)+1 raising primes.
         batch>1 → refresh `batch` ciphertexts per program
         (bootstrap_batched); reports ms **per refresh**.
+        batch=-1 → lazy-giant A/B: compile the refresh twice (with and
+        without rotate_sum's lazy-ModDown giant steps) and report the
+        same-session ratio.
 
 Pipeline: keygen/encode/setup run EAGERLY ON CPU (eager dispatch over
 the TPU tunnel is pathological — docs/performance.md), all device state
@@ -38,6 +41,8 @@ def main():
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     dnum = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    ab = batch == -1
+    nb = max(batch, 1)
 
     import jax
     import jax.numpy as jnp
@@ -79,7 +84,7 @@ def main():
                                 arcsin=True)
         rng = np.random.default_rng(3)
         all_vals, cts = [], []
-        for i in range(batch):
+        for i in range(max(batch, 1)):
             v = (rng.uniform(-1, 1, d) + 1j * rng.uniform(-1, 1, d)) * 0.7
             ci = F.encrypt(kp, F.make_plaintext(params.ring_cipher, v,
                                                 Fraction(2) ** 27),
@@ -124,22 +129,11 @@ def main():
     print(f"record (eager cpu): {time.time()-t0:.0f}s  "
           f"({len(items)} diagonal tensors, {mb:.0f} MB as args)",
           flush=True)
-    fn = (B.jit_bootstrap_batched_replay() if batch > 1
-          else B.jit_bootstrap_replay())
-    t0 = time.time()
-    lowered = fn.lower(ctx_h, drive_h, items)
-    print(f"trace: {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    compiled = lowered.compile()
-    print(f"compile: {time.time()-t0:.0f}s", flush=True)
-    comp1 = lambda a, b: compiled(a, b, items)
-
-    t0 = time.time()
-    out = comp1(ctx_h, drive_h)
-    sync = np.asarray(out.cs[0].dual if out.cs[0].dual is not None
-                      else out.cs[0].primal)
-    print(f"run1 (incl transfer): {time.time()-t0:.1f}s", flush=True)
-
+    # pin the key material + transform diagonals on the device ONCE —
+    # host numpy jit arguments re-cross the tunnel on EVERY call (tens
+    # of MB/refresh measured as ~1s of fake "bootstrap wall")
+    ctx_h = jax.device_put(ctx_h)
+    items = jax.device_put(items)
     # Timing: repeated single-refresh runs minus the measured dispatch/
     # transfer floor. (The chained-slope methodology is wrong here —
     # XLA compile time scales with the chain length, and one bootstrap
@@ -151,21 +145,50 @@ def main():
     pick = ((lambda c_: c_.cs[0].dual) if drive_h.cs[0].dual is not None
             else (lambda c_: c_.cs[0].primal))
     floor_fn = _jax.jit(lambda c_: pick(c_) + 1).lower(drive_h).compile()
-    np.asarray(floor_fn(drive_h))
-    floors, times = [], []
-    for r in range(7):
-        t0 = time.time()
-        np.asarray(floor_fn(drive_h))
-        floors.append(time.time() - t0)
-        t0 = time.time()
-        o = comp1(ctx_h, drive_h)
-        np.asarray(o.cs[0].dual if o.cs[0].dual is not None
-                   else o.cs[0].primal)
-        times.append(time.time() - t0)
-    slope = (min(times) - min(floors)) / batch
-    print(f"bootstrap wall: {slope*1e3:.1f} ms/refresh (batch={batch}, "
-          f"min run={min(times):.3f}s dispatch floor={min(floors):.3f}s)",
-          flush=True)
+
+    def measure(lazy=True):
+        os.environ["TOYFHE_LAZY_GIANT"] = "1" if lazy else "0"
+        try:
+            fn = (B.jit_bootstrap_batched_replay() if batch > 1
+                  else B.jit_bootstrap_replay())
+            t0 = time.time()
+            lowered = fn.lower(ctx_h, drive_h, items)
+            print(f"trace(lazy={lazy}): {time.time()-t0:.0f}s", flush=True)
+            t0 = time.time()
+            compiled = lowered.compile()
+            print(f"compile(lazy={lazy}): {time.time()-t0:.0f}s",
+                  flush=True)
+            t0 = time.time()
+            out = compiled(ctx_h, drive_h, items)
+            np.asarray(out.cs[0].dual if out.cs[0].dual is not None
+                       else out.cs[0].primal)
+            print(f"run1 (incl transfer): {time.time()-t0:.1f}s",
+                  flush=True)
+            np.asarray(floor_fn(drive_h))
+            floors, times = [], []
+            for _ in range(7):
+                t0 = time.time()
+                np.asarray(floor_fn(drive_h))
+                floors.append(time.time() - t0)
+                t0 = time.time()
+                o = compiled(ctx_h, drive_h, items)
+                np.asarray(o.cs[0].dual if o.cs[0].dual is not None
+                           else o.cs[0].primal)
+                times.append(time.time() - t0)
+            slope = (min(times) - min(floors)) / nb
+            print(f"bootstrap wall(lazy={lazy}): {slope*1e3:.1f} "
+                  f"ms/refresh (batch={nb}, min run={min(times):.3f}s "
+                  f"dispatch floor={min(floors):.3f}s)", flush=True)
+            return slope, out
+        finally:
+            os.environ.pop("TOYFHE_LAZY_GIANT", None)
+
+    slope, out = measure(True)
+    eager_slope = None
+    if ab:
+        eager_slope, _ = measure(False)
+        print(f"lazy-giant speedup: {eager_slope/slope:.2f}x "
+              f"(same session)", flush=True)
 
     # correctness: decrypt on CPU (radix-2 again — CPU-resident arrays)
     from toyfhe_tpu.core import rlwe as _rlwe
@@ -173,17 +196,21 @@ def main():
     err = 0.0
     with jax.default_device(cpu):
         out_h = host(out)
-        for i in range(batch):
+        for i in range(nb):
             oi = _rlwe.ct_index(out_h, i) if batch > 1 else out_h
             got = F.decrypt(kp, oi)
             err = max(err, float(np.max(np.abs(got - all_vals[i]))))
-    print(json.dumps({
+    rec = {
         "metric": f"ckks_bootstrap_ms_n2^{logn}"
                   + (f"_dnum{dnum}" if dnum else "")
                   + (f"_b{batch}" if batch > 1 else ""),
         "value": round(slope * 1e3, 1), "unit": "ms/refresh",
         "out_levels": out.ring.nlimbs, "max_err": err,
-        "backend": jax.default_backend()}), flush=True)
+        "backend": jax.default_backend()}
+    if eager_slope is not None:
+        rec["eager_giant_ms"] = round(eager_slope * 1e3, 1)
+        rec["lazy_giant_speedup"] = round(eager_slope / slope, 2)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

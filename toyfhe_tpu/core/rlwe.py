@@ -854,11 +854,14 @@ def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
     less contraction noise than the rotate-then-add schedule. Valid for
     the hybrid and centered-RNS (window=0, incl. ModulusRaised) gadgets;
     other params fall back to rotate()+ct_add."""
+    import os
     terms = [(g, t) for (g, t) in terms if t is not None]
     assert terms, "rotate_sum of an empty term list"
     params = terms[0][1].params
     rotated_terms = [(g, t) for (g, t) in terms if g is not None and g != 1]
-    if not all(_HoistGadget.supports(params, t) for _, t in terms):
+    # TOYFHE_LAZY_GIANT=0 forces the rotate()+add schedule (A/B tooling)
+    if (os.environ.get("TOYFHE_LAZY_GIANT", "1") == "0"
+            or not all(_HoistGadget.supports(params, t) for _, t in terms)):
         out = None
         for g, t in terms:
             r = t if (g is None or g == 1) else rotate(gks.for_element(g), t)

@@ -397,11 +397,17 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
 # jitted (serving-path) encrypted inference — same math, compiled layers
 # ---------------------------------------------------------------------------
 
-def build_inference_pipeline(setup: FHESetup, model_params):
+def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
     """Build the compiled serving pipeline ONCE (layer jits, weight/diag
     encodings) and return ``run(batch, rng) -> logits``. Re-calling
     ``run`` reuses every compiled program — the warm path is the serving
-    rate; the first call pays the Mosaic/XLA compiles."""
+    rate; the first call pays the Mosaic/XLA compiles.
+
+    With ``gks_bsgs`` (from :func:`keygen_matmul_bsgs`) the dense layers
+    compile the hoisted BSGS schedule instead of the d−1-keyswitch
+    rotation loop: the whole engine-level BSGS matmul (rotate_many +
+    lazy-ModDown rotate_sum) traces into ONE jit per dense layer, with
+    the galois keys passed as pytree arguments (not HLO constants)."""
     from fractions import Fraction as Fr
 
     from ..core import ring as ringops
@@ -455,6 +461,28 @@ def build_inference_pipeline(setup: FHESetup, model_params):
                 ring2, _rep_inner(np.diag(np.roll(blk, k, axis=1)),
                                   cfg.batch).astype(complex), s2)).dual
             for k in range(d)], 0))
+
+    if gks_bsgs is not None:
+        from ..core import rlwe
+        from ..core.ckks_encoding import CKKSTag
+
+        # keys resident on device — host numpy pytree args would re-cross
+        # the host↔device boundary every call (tens of MB on a tunnel)
+        gks_bsgs = jax.device_put(gks_bsgs)
+
+        def _dense1_bsgs(o1, o2, gks_):
+            cts = [F.CipherText(params, (F.RingElt(primal=o1[ci]),
+                                         F.RingElt(primal=o2[ci])),
+                                ring2, enc=CKKSTag(s2))
+                   for ci in range(cfg.channels)]
+            out = rlwe.rotate_sum(gks_, _merge_bsgs_terms(
+                [_bsgs_matmul_terms(setup, gks_,
+                                    w1[:, ci * d:(ci + 1) * d], cts[ci])
+                 for ci in range(cfg.channels)]))
+            return (ringops.ensure_dual(ring2, out.cs[0]).dual,
+                    ringops.ensure_dual(ring2, out.cs[1]).dual)
+
+        dense1_bsgs = jax.jit(_dense1_bsgs)
     s_fq1 = s2 * s2
     b1_dual = ringops.ensure_dual(ring2, F.ckks_encode(
         ring2, _rep_inner(np.asarray(model_params["b1"]), cfg.batch)
@@ -478,6 +506,21 @@ def build_inference_pipeline(setup: FHESetup, model_params):
             ring4, _rep_inner(np.diag(np.roll(wpad, k, axis=1)),
                               cfg.batch).astype(complex), s4)).dual
         for k in range(d)], 0)
+
+    if gks_bsgs is not None:
+        from ..core.ckks_encoding import CKKSTag as _Tag
+
+        def _dense2_bsgs(g1, g2, gks_):
+            from ..core import rlwe
+            ct = F.CipherText(params, (F.RingElt(primal=g1),
+                                       F.RingElt(primal=g2)),
+                              ring4, enc=_Tag(s4))
+            out = rlwe.rotate_sum(
+                gks_, _bsgs_matmul_terms(setup, gks_, wpad, ct))
+            return (ringops.ensure_dual(ring4, out.cs[0]).dual,
+                    ringops.ensure_dual(ring4, out.cs[1]).dual)
+
+        dense2_bsgs = jax.jit(_dense2_bsgs)
     s5 = s4 * s4
     b2pad = np.concatenate([np.asarray(model_params["b2"]),
                             np.zeros(d - cfg.classes)])
@@ -495,14 +538,20 @@ def build_inference_pipeline(setup: FHESetup, model_params):
         cts = enc(jnp.asarray(pts), rng)              # (G, 2, L0, N) dual
         conv_out = conv(cts, jnp.asarray(wq), bias_dual)
         o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # (C, L2, N) primal
-        fq1_1 = fq1_2 = None
-        for ci in range(cfg.channels):
-            r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
-            fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
-            fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
+        if gks_bsgs is not None:
+            fq1_1, fq1_2 = dense1_bsgs(o1, o2, gks_bsgs)
+        else:
+            fq1_1 = fq1_2 = None
+            for ci in range(cfg.channels):
+                r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
+                fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
+                fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
         f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # primal (L3, N)
         g1, g2 = sq2(f1p, f2p)                        # (L4, N) primal
-        r1, r2 = mat2(g1, g2, diag2)                  # dual at s4²
+        if gks_bsgs is not None:
+            r1, r2 = dense2_bsgs(g1, g2, gks_bsgs)    # dual at s4²
+        else:
+            r1, r2 = mat2(g1, g2, diag2)              # dual at s4²
         r1 = MM.add_mod(r1, b2_dual, mp4)
         out = F.CipherText(params, (F.RingElt(dual=r1), F.RingElt(dual=r2)),
                            ring4, enc=F.CKKSTag(Fr(s5)))
@@ -514,14 +563,16 @@ def build_inference_pipeline(setup: FHESetup, model_params):
 
 
 def encrypted_inference_fast(setup: FHESetup, model_params,
-                             batch: np.ndarray, rng):
+                             batch: np.ndarray, rng, gks_bsgs=None):
     """Encrypted forward pass using the compiled layers in
     parallel/layers.py (bit-exact vs the eager pipeline per layer).
     Returns the decrypted logits matrix [classes, B]. The built pipeline
     is cached on ``setup`` so repeat calls serve at warm rate."""
     pipe = getattr(setup, "_pipeline", None)
-    if pipe is None or getattr(setup, "_pipeline_params", None) is not model_params:
-        pipe = build_inference_pipeline(setup, model_params)
+    prev = getattr(setup, "_pipeline_key", None)
+    if (pipe is None or prev is None or prev[0] is not model_params
+            or prev[1] is not gks_bsgs):
+        pipe = build_inference_pipeline(setup, model_params, gks_bsgs)
         setup._pipeline = pipe
-        setup._pipeline_params = model_params
+        setup._pipeline_key = (model_params, gks_bsgs)
     return pipe(batch, rng)
