@@ -363,6 +363,27 @@ def test_bootstrap_n128():
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=2e-3)
 
 
+def test_trace_plain_cache(deep_mr):
+    """trace_plain_cache (abstract trace, no execution) records exactly
+    the items the eager record pass does — same sites, same order, same
+    encoded duals bit-for-bit."""
+    params, kp, ctx0, k = deep_mr
+    ctx = B.BootstrapContext(ek=ctx0.ek, gks=ctx0.gks, gk_conj=ctx0.gk_conj,
+                             K=5.0, deg=24, plan=ctx0.plan, arcsin=True,
+                             double_angle=2)
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), k)
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    eager_items, _ = B.record_plain_cache(ctx, c)
+    traced_items = B.trace_plain_cache(ctx, c)
+    assert len(traced_items) == len(eager_items) > 0
+    for a, b in zip(eager_items, traced_items):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batched_bootstrap(deep_mr):
     """bootstrap_batched refreshes a ct_stack'ed batch in one vmapped
     program; every element matches its own single-ct refresh."""

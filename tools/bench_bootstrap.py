@@ -117,12 +117,14 @@ def main():
 
     # jit with the encoded diagonals as ARGUMENTS (device buffers) — at
     # production N the inlined constants alone are hundreds of MB and
-    # exceed the remote-compile upload limit (HTTP 413). The record
-    # pass is one eager CPU refresh (also the correctness reference).
+    # exceed the remote-compile upload limit (HTTP 413). The record pass
+    # is one abstract CPU trace (host encodes run concretely; ciphertext
+    # math stays abstract) — production-N feasible, unlike the eager
+    # refresh record (1051 s at N=2^10 L=24).
     t0 = time.time()
     os.environ["TOYFHE_NTT_IMPL"] = "radix2"
     with jax.default_device(cpu):
-        items, eager_out = B.record_plain_cache(ctx_h, c_h)
+        items = B.trace_plain_cache(ctx_h, c_h)
     os.environ.pop("TOYFHE_NTT_IMPL", None)
     items = [np.asarray(x) for x in items]
     mb = sum(x.nbytes for x in items) / 1e6

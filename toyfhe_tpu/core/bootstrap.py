@@ -701,6 +701,20 @@ def record_plain_cache(ctx: BootstrapContext, c: CipherText):
     return [np.asarray(x) for x in cache.items], out
 
 
+def trace_plain_cache(ctx: BootstrapContext, c: CipherText):
+    """Record the transform-diagonal encodes WITHOUT executing the
+    refresh: one abstract jit trace. The diagonals are host constants,
+    so their encode + eager NTT still run concretely during tracing
+    while all ciphertext math stays abstract — same site order, same
+    items as :func:`record_plain_cache`, at trace cost instead of an
+    eager refresh (the eager pass is ~10× slower and only needed when
+    the correctness reference ciphertext is wanted too)."""
+    cache = CE.PlainCache()
+    with CE.plaintext_cache(cache, "record"):
+        jax.jit(bootstrap).lower(ctx, c)
+    return [np.asarray(x) for x in cache.items]
+
+
 def jit_bootstrap_replay():
     """jax.jit(bootstrap) variant taking the encoded transform
     diagonals as a THIRD ARGUMENT (device buffers, not HLO constants):

@@ -288,10 +288,17 @@ def _pe_dual_cached(ring: RingContext, encode_fn):
         pe = cache.items[cache.i]
         cache.i += 1
         return RingElt(dual=pe)
-    pe = R.ensure_dual(ring, encode_fn()).dual
     if cache is not None and cache.mode == "record":
+        # the encode inputs are host constants, but the dual transform
+        # is a jitted subcall that would otherwise inline as traced ops
+        # under an enclosing trace (bootstrap.trace_plain_cache) — force
+        # concrete evaluation so the item is recordable
+        import jax
+        with jax.ensure_compile_time_eval():
+            pe = R.ensure_dual(ring, encode_fn()).dual
         cache.items.append(np.asarray(pe))
-    return RingElt(dual=pe)
+        return RingElt(dual=pe)
+    return RingElt(dual=R.ensure_dual(ring, encode_fn()).dual)
 
 
 def mul_plain_vector(c: CipherText, vec) -> CipherText:
