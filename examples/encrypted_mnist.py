@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--eager", action="store_true",
                     help="use the eager engine instead of compiled layers")
+    ap.add_argument("--bsgs", action="store_true",
+                    help="hoisted BSGS dense layers (2sqrt(d) keyswitches)")
     ap.add_argument("--steps", type=int, default=300)
     args = ap.parse_args()
 
@@ -55,15 +57,27 @@ def main():
     print(f"FHE setup (keygen + eval/galois keys): {time.time()-t0:.1f}s",
           flush=True)
 
+    gks = None
+    if args.bsgs:
+        t0 = time.time()
+        gks = M.keygen_matmul_bsgs(setup, jax.random.PRNGKey(4))
+        print(f"BSGS galois keys ({len(gks.keys)}): {time.time()-t0:.1f}s",
+              flush=True)
+
     t0 = time.time()
-    run = M.encrypted_inference if args.eager else M.encrypted_inference_fast
-    enc_logits = run(setup, params, imgs, ke)
+    if args.eager:
+        enc_logits = M.encrypted_inference(setup, params, imgs, ke,
+                                           gks_bsgs=gks)
+    else:
+        enc_logits = M.encrypted_inference_fast(setup, params, imgs, ke,
+                                                gks_bsgs=gks)
     dt = time.time() - t0
     print(f"encrypted inference (cold, incl. compiles): {dt:.1f}s for "
           f"{cfg.batch} images ({dt/cfg.batch*1e3:.0f} ms/image)", flush=True)
     if not args.eager:
         t0 = time.time()
-        enc_logits = run(setup, params, imgs, ke)
+        enc_logits = M.encrypted_inference_fast(setup, params, imgs, ke,
+                                                gks_bsgs=gks)
         dt = time.time() - t0
         print(f"encrypted inference (warm, serving rate): {dt:.1f}s for "
               f"{cfg.batch} images ({dt/cfg.batch*1e3:.0f} ms/image)",
