@@ -185,20 +185,36 @@ def test_hoisting_other_gadgets(label):
     gks = F.keygen_galois_set(jax.random.PRNGKey(11), kp.priv, steps)
     els = [galois_element_for_steps(c.ring.n, s) for s in steps]
     exact = label == "plain-rns"
-    hoisted = F.rotate_many(gks, c, els)
+    refs = {g: F.decrypt(kp, F.rotate(gks.for_element(g), c)) for g in els}
+    ref_sum = c
+    for g in els:
+        ref_sum = F.ct_add(ref_sum, F.rotate(gks.for_element(g), c))
+    ref_sum = F.decrypt(kp, ref_sum)
+
+    # pin the fast path: if _HoistGadget.supports regresses and these
+    # fall back to rotate(), the test must FAIL, not silently compare
+    # the fallback against itself
+    from toyfhe_tpu.core import rlwe as _rlwe
+
+    def _no_fallback(*a, **k):
+        raise AssertionError("hoisted path fell back to rotate()")
+
+    orig = _rlwe.rotate
+    _rlwe.rotate = _no_fallback
+    try:
+        hoisted = F.rotate_many(gks, c, els)
+        lazy = F.rotate_sum(gks, [(None, c)] + [(g, c) for g in els])
+    finally:
+        _rlwe.rotate = orig
     for s, g in zip(steps, els):
         got = F.decrypt(kp, hoisted[g])
-        ref = F.decrypt(kp, F.rotate(gks.for_element(g), c))
-        np.testing.assert_allclose(got, ref, atol=1e-9 if exact else 2e-4)
+        np.testing.assert_allclose(got, refs[g],
+                                   atol=1e-9 if exact else 2e-4)
         if not exact:
             np.testing.assert_allclose(got, np.roll(vals, s), atol=2e-4)
-    got = F.decrypt(kp, F.rotate_sum(gks, [(None, c)] + [(g, c)
-                                                         for g in els]))
+    got = F.decrypt(kp, lazy)
     if exact:
-        ref = c
-        for g in els:
-            ref = F.ct_add(ref, F.rotate(gks.for_element(g), c))
-        np.testing.assert_allclose(got, F.decrypt(kp, ref), atol=1e-9)
+        np.testing.assert_allclose(got, ref_sum, atol=1e-9)
     else:
         expect = vals + sum(np.roll(vals, s) for s in steps)
         np.testing.assert_allclose(got, expect, atol=1e-3)

@@ -43,6 +43,7 @@ def main():
     batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     ab = batch == -1
     nb = max(batch, 1)
+    kmargin = float(sys.argv[6]) if len(sys.argv) > 6 else 1.5
 
     import jax
     import jax.numpy as jnp
@@ -52,7 +53,9 @@ def main():
 
     n = 1 << logn
     d = n // 2
-    K = (1 + h) / 2 + 1.5
+    # margin above the mean |I| bound: tail events scale with N (more
+    # coefficient draws), so production N needs more headroom (argv[6])
+    K = (1 + h) / 2 + kmargin
     deg = int(2 * np.pi * K) + 22
     L = 24                                    # levels + base
     cpu = jax.devices("cpu")[0]
@@ -128,7 +131,7 @@ def main():
     os.environ.pop("TOYFHE_NTT_IMPL", None)
     items = [np.asarray(x) for x in items]
     mb = sum(x.nbytes for x in items) / 1e6
-    print(f"record (eager cpu): {time.time()-t0:.0f}s  "
+    print(f"record (cpu trace): {time.time()-t0:.0f}s  "
           f"({len(items)} diagonal tensors, {mb:.0f} MB as args)",
           flush=True)
     # pin the key material + transform diagonals on the device ONCE —

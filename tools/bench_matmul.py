@@ -36,11 +36,9 @@ def main():
 
     cpu = jax.devices("cpu")[0]
     n = 1 << logn
+    assert (n // 2) % d == 0, f"d={d} must divide the slot count {n // 2}"
     inner = (n // 2) // d
 
-    # a config whose (positions, batch) match the requested (d, inner)
-    cfg = M.MNISTConfig(ring_logn=logn, gadget=gadget)
-    assert cfg.positions == d or True  # d/inner drive the schedule below
     cfg = M.MNISTConfig(ring_logn=logn, gadget=gadget)
 
     t0 = time.time()
@@ -92,27 +90,8 @@ def main():
         return res
 
     def fn_bsgs(c_, gks_):
-        from toyfhe_tpu.core import ckks_encoding as CE
-        els_b = {b: rlwe.galois_element_for_steps(n, b * inner_rep)
-                 for b in range(1, bs)}
-        hoisted = rlwe.rotate_many(gks_, c_, sorted(set(els_b.values())))
-        baby = {0: c_, **{b: hoisted[e] for b, e in els_b.items()}}
-        terms = []
-        for g in range(gs):
-            acc = None
-            for b in range(bs):
-                k = g * bs + b
-                if k >= d:
-                    break
-                vec = np.repeat(np.roll(np.diag(np.roll(W, k, axis=1)),
-                                        -g * bs), inner_rep)
-                t = CE.mul_plain_vector(baby[b], vec)
-                acc = t if acc is None else rlwe.ct_add(acc, t)
-            if acc is None:
-                continue
-            el = (rlwe.galois_element_for_steps(n, g * bs * inner_rep)
-                  if g else None)
-            terms.append((el, acc))
+        # the exact production schedule (models/mnist.py), inner overridden
+        terms = M._bsgs_matmul_terms(setup, gks_, W, c_, inner=inner_rep)
         return rlwe.rotate_sum(gks_, terms)
 
     results = {}

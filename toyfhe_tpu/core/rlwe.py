@@ -761,12 +761,13 @@ class _HoistGadget:
             self.exp_ring, digits = self.params.hybrid_decompose(self.ring,
                                                                  elt)
         else:
-            expand = getattr(self.params, "keyswitch_expand", None)
-            if expand is not None:
-                self.exp_ring, _ = expand(self.ring,
-                                          R.zero_like(self.ring, elt))
-            else:
-                self.exp_ring = self.ring
+            if self.exp_ring is None:
+                expand = getattr(self.params, "keyswitch_expand", None)
+                # expand a zero element ONCE to learn the raised tower
+                # (the value is discarded; only the ring matters)
+                self.exp_ring = (expand(self.ring,
+                                        R.zero_like(self.ring, elt))[0]
+                                 if expand is not None else self.ring)
             digits = gadget_decompose(self.ring, self.exp_ring, elt, 0)
         self.ndig = int(digits.shape[0])
         metrics.count("ntt_limb_transform", self.ndig * self.exp_ring.nlimbs)

@@ -271,16 +271,18 @@ def encrypted_matmul_bsgs(setup: FHESetup, gks, weights: np.ndarray, x):
     return rlwe.rotate_sum(gks, terms)
 
 
-def _bsgs_matmul_terms(setup: FHESetup, gks, weights: np.ndarray, x):
+def _bsgs_matmul_terms(setup: FHESetup, gks, weights: np.ndarray, x,
+                       inner: Optional[int] = None):
     """The giant-step term list [(galois_element | None, inner_sum)] of
     the BSGS matmul — exposed so several matmuls feeding one sum (the
     per-channel dense1 blocks) can merge their terms and pay a single
-    rotate_sum contraction for the whole layer."""
+    rotate_sum contraction for the whole layer. ``inner`` is the slot
+    repeat factor (defaults to the config batch)."""
     from ..core import bootstrap as B
     from ..core import rlwe
 
     d = weights.shape[1]
-    inner = setup.cfg.batch
+    inner = setup.cfg.batch if inner is None else inner
     n = x.ring.n
     bs, gs = B.bsgs_split(d)
     els_b = {b: rlwe.galois_element_for_steps(n, b * inner)
@@ -306,6 +308,12 @@ def _bsgs_matmul_terms(setup: FHESetup, gks, weights: np.ndarray, x):
               if g else None)
         terms.append((el, acc))
     return terms
+
+
+def _zero_product(x):
+    """A scale²-tagged zero ciphertext — what an all-zero-weight matmul
+    returns (matches encrypted_matmul's zero-diagonal result)."""
+    return F.mul_plain_vector(x, np.zeros(x.ring.n // 2))
 
 
 def _merge_bsgs_terms(term_lists):
@@ -448,21 +456,22 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
     # ---- dense1: per-channel rotation matmuls, accumulated ----
     w1 = np.asarray(model_params["w1"])
     d = cfg.positions
-    mat1 = JL.RotateMatmulLayer(params, setup.gk, setup.gk.galois_element,
-                                d, ring2)
     from ..ops import modmath as MM
-    from ..parallel.ops import _mp_full
-    mp2 = _mp_full(mat1.ka.tabs_ct)
-    diags1 = []
-    for ci in range(cfg.channels):
-        blk = w1[:, ci * d:(ci + 1) * d]
-        diags1.append(jnp.stack([
-            ringops.ensure_dual(ring2, F.ckks_encode(
-                ring2, _rep_inner(np.diag(np.roll(blk, k, axis=1)),
-                                  cfg.batch).astype(complex), s2)).dual
-            for k in range(d)], 0))
-
-    if gks_bsgs is not None:
+    from ..parallel.ops import _mp_full, full_table_pytree
+    mp2 = _mp_full(full_table_pytree(ring2.tables))
+    if gks_bsgs is None:
+        # iterated-rotation layer: d pre-encoded diagonals per channel
+        mat1 = JL.RotateMatmulLayer(params, setup.gk,
+                                    setup.gk.galois_element, d, ring2)
+        diags1 = []
+        for ci in range(cfg.channels):
+            blk = w1[:, ci * d:(ci + 1) * d]
+            diags1.append(jnp.stack([
+                ringops.ensure_dual(ring2, F.ckks_encode(
+                    ring2, _rep_inner(np.diag(np.roll(blk, k, axis=1)),
+                                      cfg.batch).astype(complex), s2)).dual
+                for k in range(d)], 0))
+    else:
         from ..core import rlwe
         from ..core.ckks_encoding import CKKSTag
 
@@ -475,10 +484,14 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
                                          F.RingElt(primal=o2[ci])),
                                 ring2, enc=CKKSTag(s2))
                    for ci in range(cfg.channels)]
-            out = rlwe.rotate_sum(gks_, _merge_bsgs_terms(
+            terms = _merge_bsgs_terms(
                 [_bsgs_matmul_terms(setup, gks_,
                                     w1[:, ci * d:(ci + 1) * d], cts[ci])
-                 for ci in range(cfg.channels)]))
+                 for ci in range(cfg.channels)])
+            if not terms:                       # all-zero weights
+                out = _zero_product(cts[0])
+            else:
+                out = rlwe.rotate_sum(gks_, terms)
             return (ringops.ensure_dual(ring2, out.cs[0]).dual,
                     ringops.ensure_dual(ring2, out.cs[1]).dual)
 
@@ -499,15 +512,16 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
     # ---- dense2 (rectangular, zero-padded) ----
     w2 = np.asarray(model_params["w2"])
     wpad = np.vstack([w2, np.zeros((d - w2.shape[0], d))])
-    mat2 = JL.RotateMatmulLayer(params, setup.gk, setup.gk.galois_element,
-                                d, ring4)
-    diag2 = jnp.stack([
-        ringops.ensure_dual(ring4, F.ckks_encode(
-            ring4, _rep_inner(np.diag(np.roll(wpad, k, axis=1)),
-                              cfg.batch).astype(complex), s4)).dual
-        for k in range(d)], 0)
-
-    if gks_bsgs is not None:
+    mp4 = _mp_full(full_table_pytree(ring4.tables))
+    if gks_bsgs is None:
+        mat2 = JL.RotateMatmulLayer(params, setup.gk,
+                                    setup.gk.galois_element, d, ring4)
+        diag2 = jnp.stack([
+            ringops.ensure_dual(ring4, F.ckks_encode(
+                ring4, _rep_inner(np.diag(np.roll(wpad, k, axis=1)),
+                                  cfg.batch).astype(complex), s4)).dual
+            for k in range(d)], 0)
+    else:
         from ..core.ckks_encoding import CKKSTag as _Tag
 
         def _dense2_bsgs(g1, g2, gks_):
@@ -515,8 +529,9 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
             ct = F.CipherText(params, (F.RingElt(primal=g1),
                                        F.RingElt(primal=g2)),
                               ring4, enc=_Tag(s4))
-            out = rlwe.rotate_sum(
-                gks_, _bsgs_matmul_terms(setup, gks_, wpad, ct))
+            terms = _bsgs_matmul_terms(setup, gks_, wpad, ct)
+            out = (rlwe.rotate_sum(gks_, terms) if terms
+                   else _zero_product(ct))
             return (ringops.ensure_dual(ring4, out.cs[0]).dual,
                     ringops.ensure_dual(ring4, out.cs[1]).dual)
 
@@ -526,7 +541,6 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
                             np.zeros(d - cfg.classes)])
     b2_dual = ringops.ensure_dual(ring4, F.ckks_encode(
         ring4, _rep_inner(b2pad, cfg.batch).astype(complex), s5)).dual
-    mp4 = _mp_full(mat2.ka.tabs_ct)
 
     def run(batch: np.ndarray, rng):
         # ---- per-request: encode inputs + batched encrypt (one jit) ----
