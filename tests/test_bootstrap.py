@@ -384,6 +384,38 @@ def test_trace_plain_cache(deep_mr):
         np.testing.assert_array_equal(a, b)
 
 
+def test_composite_scale_bootstrap():
+    """scale_limbs=2 (composite scaling): scale ≈ 2^52 spans two ~26-bit
+    primes — the precision configuration for N ≥ 2^11 where a single
+    <2^30 TPU-friendly prime cannot hold a production scale. Mixed
+    tower: 2×29-bit base (q₀ ≈ 2^59), 26-bit level pairs, 29-bit
+    raising primes. Checks the device FBC ModRaise lift, per-level
+    scale pinning (out_scale) and two-limb rescales end to end: ~1e-5
+    error where the single-prime config leaves ~2e-2."""
+    n = 64
+    h = n // 2
+    L, dnum = 46, 10
+    alpha = -(-L // dnum)
+    k = alpha + 1
+    ring = F.make_rns_ring(n, (29, 29) + (26,) * L + (29,) * k)
+    params = F.HybridRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4),
+        dnum=dnum, num_special=k)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=24, radix=16,
+                            arcsin=True, double_angle=2, scale_limbs=2)
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-1, 1, h) + 1j * rng.uniform(-1, 1, h)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 52), ks[2])
+    while c.ring.nlimbs > 2:
+        c = F.ct_modswitch_drop(c)
+    out = B.bootstrap(ctx, c)
+    assert out.ring.nlimbs >= 15       # ≥ 7 composite levels regained
+    np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=1e-4)
+
+
 def test_batched_bootstrap(deep_mr):
     """bootstrap_batched refreshes a ct_stack'ed batch in one vmapped
     program; every element matches its own single-ct refresh."""

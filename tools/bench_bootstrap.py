@@ -1,7 +1,9 @@
 """Production-N CKKS bootstrap on the real TPU chip.
 
-Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum] [batch]
-        (defaults: logN=11, radix=16, h=8, dnum=0, batch=1)
+Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum]
+                                           [batch] [kmargin] [sl]
+        (defaults: logN=11, radix=16, h=8, dnum=0, batch=1, kmargin=1.5,
+        sl=1)
         dnum=0 → ModulusRaised per-limb gadget, one special prime;
         dnum>0 → HybridRaised dnum-grouped gadget (core/hybrid.py) with
         ceil(L/dnum)+1 raising primes.
@@ -10,6 +12,9 @@ Usage:  python -u tools/bench_bootstrap.py [logN] [radix] [h] [dnum] [batch]
         batch=-1 → lazy-giant A/B: compile the refresh twice (with and
         without rotate_sum's lazy-ModDown giant steps) and report the
         same-session ratio.
+        sl=2 → composite scaling: 2×29-bit base (q₀≈2^59), 26-bit level
+        pairs, scale 2^52 — the PRECISION config for N ≥ 2^11 where the
+        single-prime scale noise floor breaks the refresh.
 
 Pipeline: keygen/encode/setup run EAGERLY ON CPU (eager dispatch over
 the TPU tunnel is pathological — docs/performance.md), all device state
@@ -44,6 +49,7 @@ def main():
     ab = batch == -1
     nb = max(batch, 1)
     kmargin = float(sys.argv[6]) if len(sys.argv) > 6 else 1.5
+    sl = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 
     import jax
     import jax.numpy as jnp
@@ -57,7 +63,7 @@ def main():
     # coefficient draws), so production N needs more headroom (argv[6])
     K = (1 + h) / 2 + kmargin
     deg = int(2 * np.pi * K) + 22
-    L = 24                                    # levels + base
+    L = 24 if sl == 1 else 46                 # level limbs (sl per level)
     cpu = jax.devices("cpu")[0]
 
     t0 = time.time()
@@ -69,30 +75,40 @@ def main():
         # 29-bit limb requests: a "30-bit" request yields 31-bit primes,
         # which fail the 2^30 MXU/lazy gate and silently demote every
         # transform in the refresh to radix-2 (docs/performance.md)
+        if sl == 2:
+            # composite scaling: 2×29-bit base, 26-bit level pairs
+            tower = (29, 29) + (26,) * L
+            scale = Fraction(2) ** 52
+            base_limbs = 2
+        else:
+            tower = (29,) * (L + 1)
+            scale = Fraction(2) ** 27
+            base_limbs = 1
+        lct = len(tower) if sl == 2 else L
         if dnum:
-            alpha = -(-L // dnum)
+            alpha = -(-lct // dnum)
             k = alpha + 1                 # P > alpha * Q_group headroom
-            ring = F.make_rns_ring(n, (29,) * (L + k))
+            ring = F.make_rns_ring(n, tower + (29,) * k)
             params = F.HybridRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h), dnum, k)
         else:
-            ring = F.make_rns_ring(n, (29,) * (L + 1))   # + special prime
+            ring = F.make_rns_ring(n, tower + ((29,) if sl == 2 else ()))
             params = F.ModulusRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h))
         ks = jax.random.split(jax.random.PRNGKey(5), 4)
         kp = F.keygen(params, ks[0])
         ctx = B.setup_bootstrap(ks[1], kp.priv, K=K, deg=deg, radix=radix,
-                                arcsin=True)
+                                arcsin=True, scale_limbs=sl)
         rng = np.random.default_rng(3)
         all_vals, cts = [], []
         for i in range(max(batch, 1)):
             v = (rng.uniform(-1, 1, d) + 1j * rng.uniform(-1, 1, d)) * 0.7
             ci = F.encrypt(kp, F.make_plaintext(params.ring_cipher, v,
-                                                Fraction(2) ** 27),
+                                                scale),
                            jax.random.fold_in(ks[2], i))
-            while ci.ring.nlimbs > 1:
+            while ci.ring.nlimbs > base_limbs:
                 ci = F.ct_modswitch_drop(ci)
             all_vals.append(v)
             cts.append(ci)
@@ -208,7 +224,8 @@ def main():
     rec = {
         "metric": f"ckks_bootstrap_ms_n2^{logn}"
                   + (f"_dnum{dnum}" if dnum else "")
-                  + (f"_b{batch}" if batch > 1 else ""),
+                  + (f"_b{batch}" if batch > 1 else "")
+                  + (f"_sl{sl}" if sl > 1 else ""),
         "value": round(slope * 1e3, 1), "unit": "ms/refresh",
         "out_levels": out.ring.nlimbs, "max_err": err,
         "backend": jax.default_backend()}

@@ -222,15 +222,26 @@ def slot_to_coeff(gks: GaloisKeys, c_lo: CipherText, c_hi: CipherText,
 # the four CoeffToSlot chains (resp. two SlotToCoeff chains) ride ONE
 # stacked ciphertext so every rotation/keyswitch is shared.
 
-def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
-                            ) -> CipherText:
+def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict,
+                            out_scale=None, sl: int = 1) -> CipherText:
     """Enc(v) → Enc(M·v) for M given as {offset: vec[..., d]} diagonals
     (vec leading axes broadcast against the ciphertext batch). BSGS with
     gap-aware step splitting (sfft.bsgs_split_offsets). Consumes one
-    level; rescale after."""
+    level (``sl`` limbs); rescale after.
+
+    ``out_scale`` pins the post-rescale scale: diagonals are encoded at
+    out_scale·(∏ last sl primes)/ct_scale instead of the ct's scale —
+    without this, a seed mismatch (retag by a composite q₀ ≠ the level
+    equilibrium) DOUBLES in log per multiplicative level until the
+    coefficients outgrow the modulus."""
     from . import sfft as SF
 
     d = c.ring.n // 2
+    at = None
+    if out_scale is not None:
+        pprod = math.prod(c.ring.primes[-sl:])
+        at = Fraction(out_scale) * pprod / Fraction(c.enc.scale)
+        assert at >= 2, f"level scale correction {float(at):g} too small"
     groups = SF.bsgs_split_offsets(diags.keys(), d)
     need = sorted({b for _, items in groups.items() for b, off in items
                    if np.any(np.asarray(diags[off]))})
@@ -245,9 +256,12 @@ def _linear_transform_diags(gks: GaloisKeys, c: CipherText, diags: dict
                 continue
             term_vec = np.roll(vec, g, axis=-1)          # rot_{−g}(diag)
             if vec.ndim == 1:
-                term = mul_plain_vector(baby[b], term_vec)
+                term = CE.mul_plain_vector_at(baby[b], term_vec,
+                                              at) if at is not None \
+                    else mul_plain_vector(baby[b], term_vec)
             else:
-                term = CE.mul_plain_vectors(baby[b], term_vec)
+                term = CE.mul_plain_vectors(baby[b], term_vec,
+                                            at_scale=at)
             inner = term if inner is None else rlwe.ct_add(inner, term)
         if inner is None:
             continue
@@ -269,25 +283,29 @@ def _stack_level(chains, i: int, d: int) -> dict:
             for o in offsets}
 
 
-def coeff_to_slot_factored(gks: GaloisKeys, gk_conj, c: CipherText, plan):
+def coeff_to_slot_factored(gks: GaloisKeys, gk_conj, c: CipherText, plan,
+                           sl: int = 1, out_scale=None):
     """Factored CoeffToSlot: (P·lo, P·hi) in bit-reversed coefficient
     order — the permutation is never applied; SlotToCoeff undoes it
-    (EvalMod between them is pointwise). Consumes plan.nlevels levels.
+    (EvalMod between them is pointwise). Consumes plan.nlevels levels
+    (each ``sl`` limbs under composite scaling).
 
     One batch-4 ciphertext [c, c̄, c, c̄] carries all four chains."""
     cbar = conjugate(gk_conj, c)
     x = rlwe.ct_stack([c, cbar, c, cbar])
     for i in range(plan.nlevels):
         diags = _stack_level(plan.c2s_chains, i, plan.d)
-        x = rlwe.ct_rescale(_linear_transform_diags(gks, x, diags))
+        x = _rescale_k(_linear_transform_diags(gks, x, diags,
+                                               out_scale=out_scale, sl=sl),
+                       sl)
     lo = rlwe.ct_add(rlwe.ct_index(x, 0), rlwe.ct_index(x, 1))
     hi = rlwe.ct_add(rlwe.ct_index(x, 2), rlwe.ct_index(x, 3))
     return lo, hi
 
 
 def slot_to_coeff_factored(gks: GaloisKeys, c_lo: CipherText,
-                           c_hi: CipherText, plan, factor: float = 1.0
-                           ) -> CipherText:
+                           c_hi: CipherText, plan, factor: float = 1.0,
+                           sl: int = 1, out_scale=None) -> CipherText:
     """Factored SlotToCoeff on bit-reversed-slot inputs; ``factor`` is
     folded into the first level's diagonals. Batch-2 [lo, hi]."""
     from . import sfft as SF
@@ -298,7 +316,9 @@ def slot_to_coeff_factored(gks: GaloisKeys, c_lo: CipherText,
         diags = _stack_level(chains, i, plan.d)
         if i == 0 and factor != 1.0:
             diags = {k: v * factor for k, v in diags.items()}
-        x = rlwe.ct_rescale(_linear_transform_diags(gks, x, diags))
+        x = _rescale_k(_linear_transform_diags(gks, x, diags,
+                                               out_scale=out_scale, sl=sl),
+                       sl)
     return rlwe.ct_add(rlwe.ct_index(x, 0), rlwe.ct_index(x, 1))
 
 
@@ -306,8 +326,20 @@ def slot_to_coeff_factored(gks: GaloisKeys, c_lo: CipherText,
 # homomorphic polynomial evaluation (EvalMod ingredient)
 # ---------------------------------------------------------------------------
 
-def _mul_rescale(ek, a: CipherText, b: CipherText) -> CipherText:
-    return rlwe.ct_rescale(rlwe.keyswitch(ek, rlwe.ct_mul(a, b)))
+def _rescale_k(c: CipherText, k: int) -> CipherText:
+    """k successive rescales — one 'level' under composite scaling
+    (scale ≈ product of k limb primes). With ~29-bit TPU-friendly limbs
+    a single prime cannot hold a production-precision scale; k = 2 gives
+    scale ≈ 2^54-58 and restores the precision headroom the S2C gain
+    chain needs at N ≥ 2^11 (docs/bootstrap.md)."""
+    for _ in range(k):
+        c = rlwe.ct_rescale(c)
+    return c
+
+
+def _mul_rescale(ek, a: CipherText, b: CipherText, sl: int = 1
+                 ) -> CipherText:
+    return _rescale_k(rlwe.keyswitch(ek, rlwe.ct_mul(a, b)), sl)
 
 
 def eval_poly(ek, c: CipherText, coeffs: Sequence[float]) -> CipherText:
@@ -343,12 +375,12 @@ def eval_poly(ek, c: CipherText, coeffs: Sequence[float]) -> CipherText:
 _TINY = 1e-13
 
 
-def _mul_ct(ek, a: CipherText, b: CipherText) -> CipherText:
-    """ct×ct with tower alignment, relinearization, rescale."""
+def _mul_ct(ek, a: CipherText, b: CipherText, sl: int = 1) -> CipherText:
+    """ct×ct with tower alignment, relinearization, rescale (sl limbs)."""
     nl = min(a.ring.nlimbs, b.ring.nlimbs)
     a = CE.ct_drop_to(a, nl)
     b = CE.ct_drop_to(b, nl)
-    return rlwe.ct_rescale(rlwe.keyswitch(ek, rlwe.ct_mul(a, b)))
+    return _rescale_k(rlwe.keyswitch(ek, rlwe.ct_mul(a, b)), sl)
 
 
 class ChebBasis:
@@ -360,8 +392,9 @@ class ChebBasis:
     the shallower operand with :func:`ckks_encoding.ct_to`, so all scale
     tags stay EXACT Fractions."""
 
-    def __init__(self, ek, y: CipherText):
+    def __init__(self, ek, y: CipherText, sl: int = 1):
         self.ek = ek
+        self.sl = sl
         self.T = {1: y}
 
     def get(self, i: int) -> CipherText:
@@ -371,7 +404,7 @@ class ChebBasis:
             raise ValueError("T_0 is the plain constant 1")
         a, b = (i + 1) // 2, i // 2
         ta, tb = self.get(a), self.get(b)
-        two = CE.mul_int(_mul_ct(self.ek, ta, tb), 2)
+        two = CE.mul_int(_mul_ct(self.ek, ta, tb, self.sl), 2)
         if a == b:
             out = CE.add_plain(two, -1.0)
         else:                           # a − b = 1
@@ -399,13 +432,14 @@ def _align_sum(terms, nl=None):
     return out, nl, target_scale
 
 
-def _plain_term(t: CipherText, a: float, nlimbs: int, scale) -> CipherText:
-    """a·t landed exactly at (nlimbs, scale): drop to nlimbs+1, multiply
-    at the correcting plaintext scale, rescale."""
-    t = CE.ct_drop_to(t, nlimbs + 1)
-    p = t.ring.primes[-1]
+def _plain_term(t: CipherText, a: float, nlimbs: int, scale,
+                sl: int = 1) -> CipherText:
+    """a·t landed exactly at (nlimbs, scale): drop to nlimbs+sl, multiply
+    at the correcting plaintext scale, rescale sl limbs."""
+    t = CE.ct_drop_to(t, nlimbs + sl)
+    p = math.prod(t.ring.primes[-sl:])
     r = Fraction(scale) * p / t.enc.scale
-    return rlwe.ct_rescale(CE.mul_plain_scalar_at(t, a, r))
+    return _rescale_k(CE.mul_plain_scalar_at(t, a, r), sl)
 
 
 def _ps_base(basis: ChebBasis, coeffs):
@@ -417,11 +451,12 @@ def _ps_base(basis: ChebBasis, coeffs):
     if not used:
         return None, const
     ts = [basis.get(i) for i, _ in used]
-    nl = min(t.ring.nlimbs for t in ts) - 1
-    scale = next(t for t in ts if t.ring.nlimbs == nl + 1).enc.scale
+    sl = basis.sl
+    nl = min(t.ring.nlimbs for t in ts) - sl
+    scale = next(t for t in ts if t.ring.nlimbs == nl + sl).enc.scale
     out = None
     for (i, a), t in zip(used, ts):
-        term = _plain_term(t, a, nl, scale)
+        term = _plain_term(t, a, nl, scale, sl)
         out = term if out is None else rlwe.ct_add(out, term)
     return out, const
 
@@ -446,27 +481,28 @@ def _ps_recurse(basis: ChebBasis, coeffs, k: int):
     ctq, aq = _ps_recurse(basis, q, k)
     ctr, ar = _ps_recurse(basis, r, k)
     tg = basis.get(g)
+    sl = basis.sl
 
     terms = []
     if ctq is not None:
-        terms.append(_mul_ct(basis.ek, ctq, tg))
+        terms.append(_mul_ct(basis.ek, ctq, tg, sl))
     if ctr is not None:
         terms.append(ctr)
     if not terms:
         if abs(aq) <= _TINY:
             return None, ar
-        nl = tg.ring.nlimbs - 1
-        return _plain_term(tg, aq, nl, tg.enc.scale), ar
+        nl = tg.ring.nlimbs - sl
+        return _plain_term(tg, aq, nl, tg.enc.scale, sl), ar
     # the aq·T_g plain term needs one spare level on T_g itself
-    cap = tg.ring.nlimbs - 1 if abs(aq) > _TINY else None
+    cap = tg.ring.nlimbs - sl if abs(aq) > _TINY else None
     summed, nl, tscale = _align_sum(terms, nl=cap)
     if abs(aq) > _TINY:
-        summed = rlwe.ct_add(summed, _plain_term(tg, aq, nl, tscale))
+        summed = rlwe.ct_add(summed, _plain_term(tg, aq, nl, tscale, sl))
     return summed, ar
 
 
-def eval_chebyshev(ek, c: CipherText, cheb_coeffs, interval: float
-                   ) -> CipherText:
+def eval_chebyshev(ek, c: CipherText, cheb_coeffs, interval: float,
+                   scale_limbs: int = 1) -> CipherText:
     """Evaluate p(x) = Σ aᵢ·Tᵢ(x/K) homomorphically, K = ``interval``,
     coefficients in the Chebyshev basis on [−1, 1] (numpy ``chebval``
     convention), with O(√d) ct×ct multiplies and O(log d) depth.
@@ -478,10 +514,11 @@ def eval_chebyshev(ek, c: CipherText, cheb_coeffs, interval: float
     d = len(coeffs) - 1
     if d < 1:
         raise ValueError("constant polynomial — nothing to evaluate")
-    p = c.ring.primes[-1]
-    y = rlwe.ct_rescale(CE.mul_plain_scalar_at(c, 1.0 / interval, p))
+    p = math.prod(c.ring.primes[-scale_limbs:])
+    y = _rescale_k(CE.mul_plain_scalar_at(c, 1.0 / interval, p),
+                   scale_limbs)
     k = max(2, math.isqrt((d + 1) // 2) + 1)
-    basis = ChebBasis(ek, y)
+    basis = ChebBasis(ek, y, scale_limbs)
     ct, const = _ps_recurse(basis, coeffs, k)
     if ct is None:
         raise ValueError("polynomial had no ciphertext-dependent part")
@@ -513,6 +550,36 @@ def mod_raise(c: CipherText) -> CipherText:
             lift = modmath.centered(x.primal, ring.mp)       # int32 [..,1,N]
             shape = x.primal.shape[:-2] + (top.nlimbs, ring.n)
             arr = modmath.from_signed(jnp.broadcast_to(lift, shape), top.mp)
+        elif ring.nlimbs <= 4:
+            # device FBC lift (jittable): X = Σᵢ yᵢ·q̂ᵢ − v·q₀ with
+            # yᵢ = xᵢ·q̂ᵢ⁻¹ mod qᵢ and v = round(Σ yᵢ/qᵢ) estimated in
+            # float32 — a wrong v near half-integers adds ±q₀, i.e. ±1
+            # to the EvalMod overflow I, which the sine removes anyway.
+            # Composite-scale bases (q₀ = two ~27-bit limbs) take this
+            # path; the rounding keeps the lift centered-ish so K needs
+            # no extra margin.
+            q = list(ring.primes)
+            q0 = math.prod(q)
+            qhat = [q0 // qi for qi in q]
+            inv_col = jnp.asarray(
+                np.array([[pow(h % p, -1, p)] for h, p in zip(qhat, q)],
+                         dtype=np.uint32))
+            y = modmath.mul_mod(x.primal, inv_col, ring.mp)  # [.., L0, N]
+            consts = jnp.asarray(np.array(
+                [[h % pt for pt in top.primes] for h in qhat],
+                dtype=np.uint32))                            # [L0, T]
+            prod = modmath.mul_mod(y[..., :, None, :],
+                                   consts[:, :, None], top.mp)
+            arr = modmath.mod_sum(prod, top.mp, axis=-3)     # [.., T, N]
+            qcol = jnp.asarray(np.array([[float(p)] for p in q],
+                                        dtype=np.float32))
+            v = jnp.round(jnp.sum(y.astype(jnp.float32) / qcol,
+                                  axis=-2)).astype(jnp.uint32)
+            q0_res = jnp.asarray(np.array([q0 % pt for pt in top.primes],
+                                          dtype=np.uint32))
+            corr = modmath.mul_mod(v[..., None, :], q0_res[:, None],
+                                   top.mp)
+            arr = modmath.sub_mod(arr, corr, top.mp)
         else:                       # general tower: exact host CRT lift
             vals = ring.to_bigint(np.asarray(x.primal))
             q = ring.modulus
@@ -567,6 +634,7 @@ class BootstrapContext:
     plan: object = None                # SfftPlan → factored transforms
     arcsin: bool = False               # cubic arcsine correction
     double_angle: int = 0              # r: cos seed + r squarings
+    scale_limbs: int = 1               # composite scale: limbs per level
 
     def __post_init__(self):
         if self.double_angle:
@@ -578,41 +646,43 @@ class BootstrapContext:
 jax.tree_util.register_pytree_node(
     BootstrapContext,
     lambda ctx: ((ctx.ek, ctx.gks, ctx.gk_conj),
-                 (ctx.K, ctx.deg, ctx.plan, ctx.arcsin, ctx.double_angle)),
+                 (ctx.K, ctx.deg, ctx.plan, ctx.arcsin, ctx.double_angle,
+                  ctx.scale_limbs)),
     lambda aux, ch: BootstrapContext(ek=ch[0], gks=ch[1], gk_conj=ch[2],
                                      K=aux[0], deg=aux[1], plan=aux[2],
-                                     arcsin=aux[3], double_angle=aux[4]))
+                                     arcsin=aux[3], double_angle=aux[4],
+                                     scale_limbs=aux[5]))
 
 
-def _arcsin_correct(ek, s: CipherText) -> CipherText:
+def _arcsin_correct(ek, s: CipherText, sl: int = 1) -> CipherText:
     """First arcsine term: EvalMod's sine gives s = sin(2πε)/2π; the
     message is ε ≈ s + (2π)²/6 · s³, improving the intrinsic modular-
     reduction error from O(ε³) to O(ε⁵). Costs 2 ct×ct levels."""
-    s2 = _mul_ct(ek, s, s)
-    s3 = _mul_ct(ek, s2, s)
+    s2 = _mul_ct(ek, s, s, sl)
+    s3 = _mul_ct(ek, s2, s, sl)
     c3 = (2.0 * math.pi) ** 2 / 6.0
-    t3 = _plain_term(s3, c3, s3.ring.nlimbs - 1, s3.enc.scale)
+    t3 = _plain_term(s3, c3, s3.ring.nlimbs - sl, s3.enc.scale, sl)
     t1 = CE.ct_to(s, t3.ring.nlimbs, t3.enc.scale)
     return rlwe.ct_add(t1, t3)
 
 
-def _arcsin_correct_from_sin(ek, v: CipherText) -> CipherText:
+def _arcsin_correct_from_sin(ek, v: CipherText, sl: int = 1) -> CipherText:
     """Arcsine correction taking the UNNORMALIZED sine v = sin(2πε)
     (the double-angle EvalMod output): ε ≈ v/(2π) + v³/(12π), with the
     1/(2π) folded into the correction's plain multiplies so the
     double-angle path never spends a level on normalization alone."""
-    v2 = _mul_ct(ek, v, v)
-    v3 = _mul_ct(ek, v2, v)
+    v2 = _mul_ct(ek, v, v, sl)
+    v3 = _mul_ct(ek, v2, v, sl)
     t3 = _plain_term(v3, 1.0 / (12.0 * math.pi),
-                     v3.ring.nlimbs - 1, v3.enc.scale)
+                     v3.ring.nlimbs - sl, v3.enc.scale, sl)
     t1 = _plain_term(v, 1.0 / (2.0 * math.pi),
-                     t3.ring.nlimbs, t3.enc.scale)
+                     t3.ring.nlimbs, t3.enc.scale, sl)
     return rlwe.ct_add(t1, t3)
 
 
 def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
                     radix: int = 0, arcsin: bool = False,
-                    double_angle: int = 0
+                    double_angle: int = 0, scale_limbs: int = 1
                     ) -> BootstrapContext:
     """Generate the rotation/conjugation/relinearization keys and the
     EvalMod polynomial for :func:`bootstrap`.
@@ -643,7 +713,8 @@ def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
     ek = rlwe.keygen_eval_mult(k2, priv)
     return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg,
                             plan=plan, arcsin=arcsin,
-                            double_angle=double_angle)
+                            double_angle=double_angle,
+                            scale_limbs=scale_limbs)
 
 
 def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
@@ -661,32 +732,37 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
     bootstrap-sized special primes). The two C2S output halves are
     stacked into one batch-2 ciphertext so EvalMod's keyswitches are
     shared — the batched-engine payoff."""
-    q0 = c.ring.modulus
+    sl = ctx.scale_limbs
+    q0 = c.ring.modulus                # composite when sl > 1 (sl limbs)
     scale = Fraction(c.enc.scale)
     cr = CE.retag(mod_raise(c), q0)
+    pin = scale if sl > 1 else None    # pin levels to the base scale
     if ctx.plan is not None:
-        lo, hi = coeff_to_slot_factored(ctx.gks, ctx.gk_conj, cr, ctx.plan)
+        lo, hi = coeff_to_slot_factored(ctx.gks, ctx.gk_conj, cr, ctx.plan,
+                                        sl=sl, out_scale=pin)
     else:
         lo, hi = coeff_to_slot(ctx.gks, ctx.gk_conj, cr)
-        lo, hi = rlwe.ct_rescale(lo), rlwe.ct_rescale(hi)
+        lo, hi = _rescale_k(lo, sl), _rescale_k(hi, sl)
     both = rlwe.ct_stack([lo, hi])
-    ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K)
-    factor = float(q0 / scale)
+    ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K, scale_limbs=sl)
+    from ..utils import numtheory as nt
+    factor = nt.frac_to_float(Fraction(q0) / scale)
     if ctx.double_angle:
         for _ in range(ctx.double_angle):      # cos(θ) → cos(2^r·θ)
-            ev = CE.add_plain(CE.mul_int(_mul_ct(ctx.ek, ev, ev), 2), -1.0)
+            ev = CE.add_plain(CE.mul_int(_mul_ct(ctx.ek, ev, ev, sl), 2),
+                              -1.0)
         if ctx.arcsin:                         # ev = sin(2πu); ε via arcsin
-            ev = _arcsin_correct_from_sin(ctx.ek, ev)
+            ev = _arcsin_correct_from_sin(ctx.ek, ev, sl)
         else:                                  # fold 1/(2π) into S2C
             factor /= 2.0 * math.pi
     elif ctx.arcsin:
-        ev = _arcsin_correct(ctx.ek, ev)
+        ev = _arcsin_correct(ctx.ek, ev, sl)
     lo2, hi2 = rlwe.ct_index(ev, 0), rlwe.ct_index(ev, 1)
     if ctx.plan is not None:
         # factored S2C rescales internally after every level
         return slot_to_coeff_factored(ctx.gks, lo2, hi2, ctx.plan,
-                                      factor=factor)
-    return rlwe.ct_rescale(slot_to_coeff(ctx.gks, lo2, hi2, factor=factor))
+                                      factor=factor, sl=sl, out_scale=pin)
+    return _rescale_k(slot_to_coeff(ctx.gks, lo2, hi2, factor=factor), sl)
 
 
 def record_plain_cache(ctx: BootstrapContext, c: CipherText):
@@ -711,7 +787,10 @@ def trace_plain_cache(ctx: BootstrapContext, c: CipherText):
     the correctness reference ciphertext is wanted too)."""
     cache = CE.PlainCache()
     with CE.plaintext_cache(cache, "record"):
-        jax.jit(bootstrap).lower(ctx, c)
+        # a fresh lambda defeats the jit trace cache — a prior trace of
+        # `bootstrap` with the same treedef would otherwise be reused
+        # without executing the encode sites (0 items recorded)
+        jax.jit(lambda ctx_, c_: bootstrap(ctx_, c_)).lower(ctx, c)
     return [np.asarray(x) for x in cache.items]
 
 

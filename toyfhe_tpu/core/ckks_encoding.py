@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from fractions import Fraction
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -115,7 +115,8 @@ def ckks_encode(ring: RingContext, slots, scale: ScaleLike) -> RingElt:
     # scaled magnitudes fit float64's integer range, ldexp+rint is exact.
     real = nipoints.real
     if (scale.denominator == 1 and (scale.numerator & (scale.numerator - 1)) == 0
-            and float(np.max(np.abs(real), initial=0.0)) * float(scale) < 2 ** 52):
+            and float(np.max(np.abs(real), initial=0.0))
+            * nt.frac_to_float(scale) < 2 ** 52):
         scaled = np.rint(np.ldexp(real, scale.numerator.bit_length() - 1))
         ints = scaled.astype(np.int64)
         out = np.zeros((ring.nlimbs, n), dtype=np.uint32)
@@ -138,11 +139,12 @@ def ckks_decode(ring: RingContext, re: RingElt, scale: ScaleLike) -> np.ndarray:
     arr = np.asarray(re.primal)
     nat = ring.native()
     if nat is not None:
-        vals = nat.decode_centered_double(arr) / float(scale)
+        vals = nat.decode_centered_double(arr) / nt.frac_to_float(scale)
     else:
         xs = ring.to_bigint(arr)
         q = ring.modulus
-        vals = np.array([float(Fraction(nt.centered(x, q)) / scale) for x in xs])
+        vals = np.array([nt.frac_to_float(Fraction(nt.centered(x, q)) / scale)
+                         for x in xs])
     k = np.arange(n)
     multed = vals * np.exp(-2j * np.pi * k / (2 * n))
     f = np.fft.fft(multed)
@@ -310,24 +312,29 @@ def mul_plain_vector(c: CipherText, vec) -> CipherText:
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
 
 
-def mul_plain_vectors(c: CipherText, vecs) -> CipherText:
+def mul_plain_vectors(c: CipherText, vecs,
+                      at_scale: Optional[ScaleLike] = None) -> CipherText:
     """Batched slot-vector multiply: ``vecs[B, d]`` aligns with a
-    batch-B ciphertext's leading axis (one plaintext per batch element,
-    all at the ciphertext's scale). The factored bootstrap transforms
-    use this to push four transform chains through ONE stacked
-    ciphertext, sharing every rotation/keyswitch."""
+    batch-B ciphertext's leading axis (one plaintext per batch element).
+    Encoded at the ciphertext's scale, or at ``at_scale`` when given —
+    the scale-management hook that pins transform levels to a target
+    scale instead of letting s → s²/q drift compound (composite-scale
+    bootstrap). The factored bootstrap transforms use this to push four
+    transform chains through ONE stacked ciphertext, sharing every
+    rotation/keyswitch."""
     import jax.numpy as jnp
 
     scale = _ct_scale(c)
+    at = scale if at_scale is None else Fraction(at_scale)
 
     def enc():
         vs = np.asarray(vecs, dtype=np.complex128)
-        pes = [ckks_encode(c.ring, v, scale).primal for v in vs]
+        pes = [ckks_encode(c.ring, v, at).primal for v in vs]
         return RingElt(primal=jnp.stack(pes, axis=0))
 
     pe = _pe_dual_cached(c.ring, enc)
     cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
-    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * scale))
+    return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * at))
 
 
 def add_plain(c: CipherText, vals) -> CipherText:

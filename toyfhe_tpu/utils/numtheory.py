@@ -165,6 +165,27 @@ def centered(x: int, q: int) -> int:
     return x - q if x > q // 2 else x
 
 
+def frac_to_float(fr) -> float:
+    """float(Fraction) robust to bignum numerator/denominator.
+
+    Exact-Fraction CKKS scale tags accumulate coprime products of many
+    ~2^27 primes; the RATIO stays moderate but numerator/denominator
+    individually exceed float64 range, so ``float(fr)`` raises
+    OverflowError. Shift both down to ~64 bits first (±2^-63 relative
+    error); a genuinely astronomical ratio returns ±inf."""
+    n, d = fr.numerator, fr.denominator
+    neg = n < 0
+    n = abs(n)
+    if n.bit_length() - d.bit_length() > 1020:
+        return -math.inf if neg else math.inf
+    k = min(n.bit_length(), d.bit_length()) - 64
+    if k > 0:
+        n >>= k
+        d >>= k
+    v = n / d
+    return -v if neg else v
+
+
 def divround(a: int, b: int) -> int:
     """Round-to-nearest division, ties away from zero.
 
