@@ -229,3 +229,21 @@ def test_hoisted_conjugation():
     hoisted = F.rotate_many(F.GaloisKeys([gkc]), c, [g])
     np.testing.assert_allclose(F.decrypt(kp, hoisted[g]), np.conj(vals),
                                atol=2e-4)
+
+
+def test_rotate_sum_scale_mismatch_guard():
+    """The fast path must reject mixed-scale terms just like the
+    fallback's ct_add would (ADVICE r1: it used to silently tag with the
+    first term's enc)."""
+    from toyfhe_tpu.core.ckks_encoding import retag
+    from toyfhe_tpu.core.rlwe import galois_element_for_steps
+
+    params, kp, ek, gk, c, vals = _setup(4, 2)
+    n = c.ring.n
+    gks = F.keygen_galois_set(jax.random.PRNGKey(22), kp.priv, [1])
+    g = galois_element_for_steps(n, 1)
+    c2 = retag(c, c.enc.scale * 2)
+    with pytest.raises(ValueError):
+        F.rotate_sum(gks, [(None, c), (g, c2)])
+    with pytest.raises(ValueError):
+        F.rotate_sum(gks, [(g, c), (g, c2)])

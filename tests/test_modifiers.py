@@ -204,3 +204,23 @@ def test_security_estimator():
     ring = F.make_rns_ring(64, (28,) * 4 + (30, 30))
     params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 2, 2)
     assert F.security_level(params) == 0              # toy ring
+
+
+def test_planner_security_warnings():
+    """plan_ckks_ring warns on under-secure towers — including the
+    worst case where the tower exceeds EVERY HEStd budget (previously a
+    silent except-pass)."""
+    import warnings
+
+    from toyfhe_tpu.core.planner import SecurityWarning, plan_ckks_ring
+
+    # Tower within the table but N too small: plain "wants N >= ..."
+    with pytest.warns(SecurityWarning, match="wants N"):
+        plan_ckks_ring(64, depth=1, scale_bits=26)
+    # Tower larger than the largest budget in the table: loudest warning
+    with pytest.warns(SecurityWarning, match="exceeds the largest"):
+        plan_ckks_ring(64, depth=40, scale_bits=28)
+    # Opt-out for deliberately-toy rings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        plan_ckks_ring(64, depth=1, scale_bits=26, check_security=False)

@@ -75,3 +75,24 @@ def test_from_signed():
     r = np.asarray(modmath.from_signed(jnp.asarray(np.tile(x, (len(ps), 1))), mp))
     for l, p in enumerate(ps):
         np.testing.assert_array_equal(r[l], [v % p for v in x.tolist()])
+
+
+def test_frac_to_float_borderline_huge_ratio():
+    """Gaps of 1021..1024 bits can still be finite doubles; only a
+    genuine overflow maps to inf (ADVICE r1: previous early-out at 1020
+    rounded representable scales to inf)."""
+    from fractions import Fraction
+
+    from toyfhe_tpu.utils.numtheory import frac_to_float
+
+    f = Fraction(2) ** 1022          # representable: 2^1022 < DBL_MAX
+    assert frac_to_float(f) == float(2.0 ** 1022)
+    assert frac_to_float(-f) == -float(2.0 ** 1022)
+    big = Fraction(2) ** 1022 * 3    # ~2^1023.58, still finite
+    assert frac_to_float(big) == float(big.numerator >> 960) * 2.0 ** 960
+    import math
+    assert frac_to_float(Fraction(2) ** 1025) == math.inf
+    assert frac_to_float(-(Fraction(2) ** 1025)) == -math.inf
+    # huge numerator AND denominator, moderate ratio
+    g = (Fraction(2) ** 5000) / (Fraction(2) ** 5000 - Fraction(12345))
+    assert abs(frac_to_float(g) - 1.0) < 1e-12

@@ -177,7 +177,14 @@ def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,
     ring = RingContext(n, nt.ntt_prime_chain(n, logqs))
     aux = make_aux_ring(ring)
     plain = PlainRing(n, p)
-    return BFVParams(ring, aux, plain, relin_window, sigma)
+    params = BFVParams(ring, aux, plain, relin_window, sigma)
+    # Param-gen quality bookkeeping: the PALISADE heuristic's minimal q
+    # budget in bits, before RNS re-planning rounded it up to whole
+    # limbs. tests/test_bfv.py derives the reference's final-noise-budget
+    # window (test/bfv_noise.jl:34, budget ∈ (1, 10)) shifted by the
+    # re-planning slack log2(modulus) − planned_q_bits.
+    params.planned_q_bits = float(math.log2(q)) if q > 0 else float(bits)
+    return params
 
 
 def invariant_noise_budget(key, c: CipherText) -> float:

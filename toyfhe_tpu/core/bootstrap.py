@@ -535,7 +535,12 @@ def mod_raise(c: CipherText) -> CipherText:
     """Reinterpret an exhausted ciphertext's residues as integers in the
     FULL tower Q: decrypting the result gives m + q₀·I + e with
     ‖I‖∞ ≲ (1 + ‖s‖₁)/2 — the overflow the EvalMod phase removes. The
-    scale tag is unchanged; the single-limb path runs on device."""
+    scale tag is unchanged; the single-limb path runs on device.
+
+    Composite-base caveat (nlimbs 2..4): the device FBC lift estimates
+    the CRT correction v in float32; a slip near half-integers adds ±q₀,
+    i.e. ±1 to the overflow I. Budget ~1 extra unit of EvalMod margin K
+    for such ciphertexts (see :func:`setup_bootstrap`)."""
     import jax.numpy as jnp
     from ..ops import modmath
 
@@ -691,7 +696,14 @@ def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
     level per phase, d plaintext diagonals — fine for small rings).
     ``radix`` ≥ 2: special-FFT factored transforms (core/sfft.py) —
     log_radix(d) levels per phase but only O(radix·log) diagonals and
-    O(√radix·log) rotation keys; the production-N configuration."""
+    O(√radix·log) rotation keys; the production-N configuration.
+
+    ``K`` is the EvalMod overflow margin (sin approximation valid for
+    |I| ≤ K). The default 5.0 covers sparse/ternary secrets with room to
+    spare at scale_limbs=1; note that composite-base ciphertexts
+    (scale_limbs ≥ 2, i.e. q₀ spanning 2-4 limbs) consume ~1 unit of
+    that margin through mod_raise's float32 CRT-correction estimate —
+    keep K ≥ ‖I‖∞ + 1 for those configurations."""
     import jax
 
     k1, k2, k3 = jax.random.split(rng, 3)

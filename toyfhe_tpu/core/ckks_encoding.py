@@ -192,7 +192,12 @@ def mul_plain_vector_at(c: CipherText, vec, at_scale: ScaleLike) -> CipherText:
     :func:`mul_plain_scalar_at`); result scale = ct_scale · at_scale."""
     scale = _ct_scale(c)
     at_scale = Fraction(at_scale)
-    pe = ckks_encode(c.ring, np.asarray(vec, dtype=np.complex128), at_scale)
+    # Routed through _pe_dual_cached so record/replay plaintext caches
+    # see this encode site too (otherwise the encode would be baked as
+    # an HLO constant under trace_plain_cache, defeating the
+    # diagonals-as-device-buffers design).
+    pe = _pe_dual_cached(c.ring, lambda: ckks_encode(
+        c.ring, np.asarray(vec, dtype=np.complex128), at_scale))
     cs = tuple(R.mul(c.ring, x_, pe) for x_ in c.cs)
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * at_scale))
 

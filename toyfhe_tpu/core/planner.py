@@ -41,22 +41,48 @@ def plan_ckks_tower(n: int, depth: int, scale_bits: int = 28,
     return limbs, scale_bits
 
 
-def plan_ckks_ring(n: int, depth: int, scale_bits: int = 28,
-                   value_bits: int = 8) -> Tuple[RingContext, int]:
-    """Convenience: build the ring for :func:`plan_ckks_tower`. Checks
-    the HomomorphicEncryption.org budget when a standard N is used."""
+class SecurityWarning(UserWarning):
+    """Planned parameters fall short of 128-bit classical security."""
+
+
+def check_tower_security(n: int, total_bits: float, *,
+                         dist=None, what: str = "tower") -> None:
+    """Warn (``SecurityWarning``) when a planned tower of ``total_bits``
+    at ring dimension ``n`` misses 128-bit classical security per the
+    HEStd v1.1 table. A tower larger than EVERY budget in the table is
+    the *most* insecure configuration and warns hardest (this used to be
+    silently skipped)."""
+    import warnings
+
     from . import cryptparams
 
-    limbs, s = plan_ckks_tower(n, depth, scale_bits, value_bits)
-    total = sum(limbs)
+    if dist is None:
+        dist = cryptparams.HEStd_error
     try:
         max_n = cryptparams.std_ring_dim(
-            cryptparams.HEStd_error, cryptparams.HEStd_128_classic, total)
-        if max_n > n:
-            import warnings
-            warnings.warn(
-                f"tower of {total} bits wants N ≥ {max_n} for 128-bit "
-                f"classical security (got N={n})")
+            dist, cryptparams.HEStd_128_classic, total_bits)
     except ValueError:
-        pass
+        warnings.warn(
+            f"{what} of {total_bits} bits exceeds the largest "
+            f"HomomorphicEncryption.org v1.1 budget at ANY standard ring "
+            f"dimension — NOT 128-bit secure at N={n}; shrink the tower "
+            f"or accept a non-standard parameter set",
+            SecurityWarning, stacklevel=3)
+        return
+    if max_n > n:
+        warnings.warn(
+            f"{what} of {total_bits} bits wants N ≥ {max_n} for 128-bit "
+            f"classical security (got N={n})",
+            SecurityWarning, stacklevel=3)
+
+
+def plan_ckks_ring(n: int, depth: int, scale_bits: int = 28,
+                   value_bits: int = 8, *,
+                   check_security: bool = True) -> Tuple[RingContext, int]:
+    """Convenience: build the ring for :func:`plan_ckks_tower`. Checks
+    the HomomorphicEncryption.org budget (``check_security=False`` opts
+    out, e.g. for deliberately-toy test rings)."""
+    limbs, s = plan_ckks_tower(n, depth, scale_bits, value_bits)
+    if check_security:
+        check_tower_security(n, sum(limbs), what="CKKS tower")
     return make_rns_ring(n, limbs), s

@@ -196,10 +196,19 @@ class GaloisKeys:
     keys: List[GaloisKey]
 
     def for_element(self, galois_element: int) -> GaloisKey:
-        for k in self.keys:
-            if k.galois_element == galois_element:
-                return k
-        raise KeyError(f"no galois key for element {galois_element}")
+        # O(1) lookup via a lazily-built index. Stored outside the
+        # dataclass fields so pytree unflatten (which passes only
+        # ``keys``) and dataclass equality are unaffected; rebuilt if
+        # the key list changed length (e.g. after unflatten reuse).
+        idx = self.__dict__.get("_index")
+        if idx is None or len(idx) != len(self.keys):
+            idx = {k.galois_element: k for k in self.keys}
+            self.__dict__["_index"] = idx
+        try:
+            return idx[galois_element]
+        except KeyError:
+            raise KeyError(
+                f"no galois key for element {galois_element}") from None
 
     def for_steps(self, n: int, steps: int) -> GaloisKey:
         return self.for_element(galois_element_for_steps(n, steps))
@@ -830,7 +839,7 @@ def rotate_many(gks: GaloisKeys, c: CipherText, elements) -> dict:
         gk = gks.for_element(g)
         metrics.count("rotate")
         metrics.count("keyswitch")
-        perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
+        perm = nttmod.galois_dual_perm_dev(n, g)
         pd = jnp.take(ddual, perm, axis=-1)
         masks, maskeds = gad.key_stack(gk.key, pd.ndim - 3)
         acc2 = _mod_sum(modmath.mul_mod(masks, pd, mp3), mp3)
@@ -872,6 +881,18 @@ def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
     from ..ops import ntt as nttmod
     from ..utils import metrics
 
+    # Mirror ct_add's checks up front: the fast path tags the output
+    # with the first rotated term's enc, which is only sound when every
+    # term shares params and a combine_add-compatible enc (the fallback
+    # schedule would raise via ct_add; so must we).
+    enc0 = terms[0][1].enc
+    for _, t in terms[1:]:
+        if t.params is not params:
+            raise UsageError(
+                "rotate_sum terms carry differing parameters")
+        if enc0 is not None and t.enc is not None:
+            enc0.combine_add(t.enc)
+
     c0_ident = None                      # identity terms: plain dual adds
     for g, t in terms:
         if g is None or g == 1:
@@ -891,7 +912,7 @@ def rotate_sum(gks: GaloisKeys, terms) -> CipherText:
         metrics.count("rotate")
         metrics.count("keyswitch")
         ddual = gad.decompose_dual(t.cs[1])
-        perm = jnp.asarray(nttmod.galois_dual_perm(n, g))
+        perm = nttmod.galois_dual_perm_dev(n, g)
         pd = jnp.take(ddual, perm, axis=-1)          # σ_g ∘ decompose
         masks, maskeds = gad.key_stack(gk.key, pd.ndim - 3)
         mp3 = gad.exp_ring.mp

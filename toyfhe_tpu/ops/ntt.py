@@ -286,6 +286,15 @@ def galois_dual_perm(n: int, galois_element: int) -> np.ndarray:
     return (((2 * k + 1) * g) % (2 * n) - 1) // 2
 
 
+@functools.lru_cache(maxsize=None)
+def galois_dual_perm_dev(n: int, galois_element: int):
+    """:func:`galois_dual_perm` as a cached device array — rotation-heavy
+    schedules (hoisted BSGS, rotate_sum) hit the same (n, g) pairs every
+    call; rebuilding the index array per call cost host time and an H2D
+    transfer each."""
+    return jnp.asarray(galois_dual_perm(n, galois_element))
+
+
 def naive_negacyclic_mul(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
     """O(n²) schoolbook negacyclic convolution over Python ints.
 

@@ -176,13 +176,21 @@ def frac_to_float(fr) -> float:
     n, d = fr.numerator, fr.denominator
     neg = n < 0
     n = abs(n)
-    if n.bit_length() - d.bit_length() > 1020:
+    # Ratios with bit-length gap g satisfy 2^(g-1) < n/d < 2^(g+1); only
+    # g > 1024 is guaranteed past DBL_MAX ≈ 2^1024. Gaps of 1021..1024
+    # can still be finite doubles — fall through to the exact division
+    # (CPython's bignum / is correctly rounded) and map a genuine
+    # overflow to ±inf.
+    if n.bit_length() - d.bit_length() > 1024:
         return -math.inf if neg else math.inf
     k = min(n.bit_length(), d.bit_length()) - 64
     if k > 0:
         n >>= k
         d >>= k
-    v = n / d
+    try:
+        v = n / d
+    except OverflowError:
+        v = math.inf
     return -v if neg else v
 
 
