@@ -287,12 +287,18 @@ def galois_dual_perm(n: int, galois_element: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def galois_dual_perm_dev(n: int, galois_element: int):
-    """:func:`galois_dual_perm` as a cached device array — rotation-heavy
+def galois_dual_perm_dev(n: int, galois_element: int) -> np.ndarray:
+    """:func:`galois_dual_perm` as a cached int32 numpy array — rotation-heavy
     schedules (hoisted BSGS, rotate_sum) hit the same (n, g) pairs every
-    call; rebuilding the index array per call cost host time and an H2D
-    transfer each."""
-    return jnp.asarray(galois_dual_perm(n, galois_element))
+    call; rebuilding the index array per call cost host time each.
+
+    Deliberately NOT a device array: materializing on device inside a jit
+    trace would cache a tracer (the int64→int32 canonicalization is a traced
+    op) and leak it into later traces. A dtype-canonical numpy constant is
+    safe in any trace context — ``jnp.take`` embeds it as a jaxpr const.
+    """
+    return np.ascontiguousarray(galois_dual_perm(n, galois_element),
+                                dtype=np.int32)
 
 
 def naive_negacyclic_mul(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
