@@ -141,6 +141,7 @@ def test_eval_chebyshev(deep):
     assert out.ring.nlimbs >= 9
 
 
+@pytest.mark.slow
 def test_full_bootstrap(deep):
     """End-to-end CKKS bootstrap: an exhausted (single-limb) ciphertext
     is refreshed to a deep tower without the secret key, preserving the
@@ -160,6 +161,7 @@ def test_full_bootstrap(deep):
     np.testing.assert_allclose(got, vals, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_hybrid_bootstrap():
     """Full bootstrap on the production dnum-grouped hybrid gadget
     (core/hybrid.py): 20-limb ct tower, digits are 5 groups of 4 limbs
@@ -249,6 +251,7 @@ def deep_mr():
     return params, kp, ctx, ks[2]
 
 
+@pytest.mark.slow
 def test_factored_bootstrap(deep_mr):
     """Factored C2S/S2C + ModulusRaised + arcsine: ~1e-4 refresh error
     with only O(√radix·log d) rotation keys."""
@@ -266,6 +269,7 @@ def test_factored_bootstrap(deep_mr):
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_double_angle_bootstrap(deep_mr):
     """Double-angle EvalMod: degree-24 cosine seed + 2 squarings replaces
     the degree-46 sine (host composition error 4.5e-10 vs 7.1e-6), so
@@ -286,6 +290,7 @@ def test_double_angle_bootstrap(deep_mr):
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_jit_bootstrap(deep_mr):
     """The ENTIRE refresh — ModRaise, CoeffToSlot, EvalMod, SlotToCoeff
     — compiles into ONE XLA program: BootstrapContext and CipherText are
@@ -312,6 +317,7 @@ def test_jit_bootstrap(deep_mr):
         np.testing.assert_array_equal(ap, bp)
 
 
+@pytest.mark.slow
 def test_jit_bootstrap_cached(deep_mr):
     """jit_bootstrap_cached threads the encoded transform diagonals in
     as jit ARGUMENTS (device buffers, not HLO constants) and is
@@ -338,6 +344,7 @@ def test_jit_bootstrap_cached(deep_mr):
         np.testing.assert_array_equal(ap, bp)
 
 
+@pytest.mark.slow
 def test_bootstrap_n128():
     """Factored bootstrap at N=128 (two butterfly levels per phase,
     radix 16): the production-N shape where dense BSGS would already
@@ -363,6 +370,7 @@ def test_bootstrap_n128():
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_trace_plain_cache(deep_mr):
     """trace_plain_cache (abstract trace, no execution) records exactly
     the items the eager record pass does — same sites, same order, same
@@ -384,6 +392,7 @@ def test_trace_plain_cache(deep_mr):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_composite_scale_bootstrap():
     """scale_limbs=2 (composite scaling): scale ≈ 2^52 spans two ~26-bit
     primes — the precision configuration for N ≥ 2^11 where a single
@@ -416,6 +425,7 @@ def test_composite_scale_bootstrap():
     np.testing.assert_allclose(F.decrypt(kp, out), vals, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_bootstrap(deep_mr):
     """bootstrap_batched refreshes a ct_stack'ed batch in one vmapped
     program; every element matches its own single-ct refresh."""

@@ -103,3 +103,52 @@ def test_bfv_uint8():
     csq = scheme.mul(c, c)
     dec = ctx.decode(scheme.decrypt(kp, csq))
     assert [s[0] for s in dec[:6]] == [1, 4, 9, 16, 25, 36]
+
+
+def test_bfv_uint8_relin_rotate():
+    """VERDICT item 5: the ring-generic engine over a general cyclotomic
+    — relinearize after multiply and rotate PolyCRT slots on the prime
+    cyclotomic of test/bfv_uint8.jl (reference gets these for free from
+    Julia dispatch over nemo.jl rings, rlwe_she.jl:273-360)."""
+    from toyfhe_tpu.core import host_engine as HE
+
+    m = _find_cyclotomic(3, 2)                  # 31
+    q = nt.next_prime(2 ** 51 + 1)
+    qbig = nt.next_prime(2 ** 111 + 1)
+    params = HE.HostParams(ring=G.GenericRing(m, q), scheme="bfv", p=256,
+                           ring_big=G.GenericRing(m, qbig),
+                           relin_window=1, delta=q // 256)
+    ctx = PolyCRTContext(m, 2, 8)
+    rng = random.Random(99)
+    kp = HE.keygen(params, rng)
+    ek = HE.keygen_eval_mult(params, kp, rng)
+
+    vals = [1, 2, 3, 4, 5, 6][:ctx.nslots]
+    c = HE.encrypt(params, kp, ctx.encode(vals), rng)
+
+    # relinearize after mul: len 3 -> 2, slots squared
+    csq = HE.ct_mul(params, c, c)
+    assert len(csq) == 3
+    cs = HE.keyswitch(params, ek, csq)
+    assert len(cs) == 2
+    dec = ctx.decode(HE.decrypt(params, kp, cs))
+    assert [s[0] for s in dec[:len(vals)]] == [v * v % 256 for v in vals]
+
+    # PolyCRT slot rotation: galois key at the cycle generator
+    g, order = ctx.rotation_generator()
+    perm = ctx.galois_slot_permutation(g)
+    assert sorted(perm) == list(range(ctx.nslots))
+    gk = HE.keygen_galois(params, kp, rng, galois_element=g)
+    cr = HE.rotate(params, gk, c)
+    got = [s[0] for s in ctx.decode(HE.decrypt(params, kp, cr))]
+    want = [vals[perm[i]] if perm[i] < len(vals) else 0
+            for i in range(ctx.nslots)]
+    assert got == want
+    # in the cycle ordering, sigma_g is exactly a cyclic shift
+    full = list(range(10, 10 + ctx.nslots))
+    cf = HE.encrypt(params, kp, ctx.encode(full), rng)
+    gotf = [s[0] for s in ctx.decode(HE.decrypt(params, kp,
+                                                HE.rotate(params, gk, cf)))]
+    view = [gotf[i] for i in order]
+    base = [full[i] for i in order]
+    assert view == base[1:] + base[:1]

@@ -15,7 +15,7 @@ schemes + encodings, parallel/ = mesh sharding, models/ = L6 applications.
 from .core.ring import RingContext, RingElt, make_ring, make_rns_ring
 from .core import ring as ringops
 from .core.plain import (PlainRing, PlainPoly, scalar_encode, scalar_decode,
-                         slot_encode, slot_decode)
+                         coeff_encode, slot_encode, slot_decode)
 from .core.rlwe import (SchemeParams, PassthroughParams, PrivKey, PubKey,
                         KeyPair, KeySwitchKey, EvalMultKey, GaloisKey,
                         GaloisKeys, CipherText, UsageError, RingElt,

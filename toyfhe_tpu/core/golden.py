@@ -1,0 +1,399 @@
+"""Golden-vector scenarios: the reference's test suite, run exactly.
+
+Each scenario reproduces one reference test file — same parameter
+derivation (via :mod:`~toyfhe_tpu.core.refparams`), same operation
+sequence, same assertions — on the exact host engine
+(:mod:`~toyfhe_tpu.core.host_engine`), at the reference's own 40/50/60-bit
+moduli that the device's <2^31 RNS path re-plans away. The decoded
+results are recorded as golden vectors (``tools/record_golden.py`` →
+``tests/golden/reference_vectors.json``); ``tests/test_reference_vectors``
+then proves (a) the host engine reproduces them bit-exactly from the seed
+and (b) the device RNS path decodes identically for the exact schemes
+(BFV/BGV) and within documented tolerance for CKKS.
+
+Beyond the reference's literal assertions (scalar plaintexts), every
+scenario also runs a full-width deterministic plaintext vector, so
+"decodes identically" pins every slot/coefficient, not just index 0.
+
+Vectors longer than ``_FULL_LIMIT`` are recorded as SHA-256 digest +
+prefix, still a bit-exact check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from fractions import Fraction
+from typing import Dict, List
+
+import numpy as np
+
+from ..utils import numtheory as nt
+from . import host_engine as HE
+from . import refparams as RP
+
+SEED = 20260820
+_FULL_LIMIT = 512
+
+
+# ---------------------------------------------------------------------------
+# record helpers
+# ---------------------------------------------------------------------------
+
+def vec_record(xs) -> dict:
+    xs = [int(x) for x in xs]
+    if len(xs) <= _FULL_LIMIT:
+        return {"full": xs}
+    h = hashlib.sha256(repr(xs).encode()).hexdigest()
+    return {"sha256": h, "len": len(xs), "prefix": xs[:64]}
+
+
+def vec_matches(rec: dict, xs) -> bool:
+    xs = [int(x) for x in xs]
+    if "full" in rec:
+        return rec["full"] == xs
+    return (rec["len"] == len(xs) and rec["prefix"] == xs[:64]
+            and hashlib.sha256(repr(xs).encode()).hexdigest() == rec["sha256"])
+
+
+def cvec_record(zs) -> list:
+    """Complex slot vector → [[re, im], ...] float64 record."""
+    return [[float(z.real), float(z.imag)] for z in np.asarray(zs)]
+
+
+def cvec_err(rec: list, zs) -> float:
+    got = np.asarray(zs, dtype=np.complex128)
+    want = np.array([complex(r, i) for r, i in rec])
+    return float(np.max(np.abs(got - want))) if len(rec) else 0.0
+
+
+def _plain_vec(rng: np.random.Generator, n: int, p: int) -> List[int]:
+    return [int(x) for x in rng.integers(0, p, size=n)]
+
+
+# ---------------------------------------------------------------------------
+# scenarios (host side)
+# ---------------------------------------------------------------------------
+
+def run_bfv_triv(seed: int = SEED) -> dict:
+    """test/bfv_triv.jl — BFVParams(53; eval_mult_count=2):
+    6 → dec 6; square → 0x24.  Plus a full coefficient vector."""
+    rp = RP.bfv_reference_paramgen(53, eval_mult_count=2)
+    ring = HE.Pow2HostRing(rp.n, q=rp.qprime)
+    big = HE.Pow2HostRing(rp.n, q=rp.qprime_large)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=53, sigma=rp.sigma,
+                           ring_big=big, relin_window=rp.relin_window,
+                           delta=rp.delta)
+    rng = random.Random(seed)
+    prng = np.random.default_rng(seed)
+    kp = HE.keygen(params, rng)
+
+    out = {"params": {"n": rp.n, "qprime": hex(rp.qprime),
+                      "qprime_large": hex(rp.qprime_large),
+                      "delta": hex(rp.delta), "p": 53},
+           "checks": {}}
+    c = HE.encrypt(params, kp, [6], rng)
+    d0 = HE.decrypt(params, kp, c)
+    assert d0[0] == 6
+    out["checks"]["dec"] = vec_record(d0)
+    dsq = HE.decrypt(params, kp, HE.ct_mul(params, c, c))
+    assert dsq[0] == 0x24
+    out["checks"]["dec_sq"] = vec_record(dsq)
+
+    m = _plain_vec(prng, rp.n, 53)
+    cv = HE.encrypt(params, kp, m, rng)
+    dv = HE.decrypt(params, kp, cv)
+    assert dv == m
+    out["checks"]["vec_dec"] = vec_record(dv)
+    out["checks"]["vec_sq"] = vec_record(
+        HE.decrypt(params, kp, HE.ct_mul(params, cv, cv)))
+    out["plain"] = {"vec": vec_record(m)}
+    return out
+
+
+def run_bfv_keyswitch(seed: int = SEED) -> dict:
+    """test/bfv_keyswitch.jl — BFVParams(7; eval_mult_count=3):
+    2 → sq 4 → keyswitch (len 2) → 4 → ×c → 1. Plus full vector."""
+    rp = RP.bfv_reference_paramgen(7, eval_mult_count=3)
+    ring = HE.Pow2HostRing(rp.n, q=rp.qprime)
+    big = HE.Pow2HostRing(rp.n, q=rp.qprime_large)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=7, sigma=rp.sigma,
+                           ring_big=big, relin_window=rp.relin_window,
+                           delta=rp.delta)
+    rng = random.Random(seed)
+    prng = np.random.default_rng(seed)
+    kp = HE.keygen(params, rng)
+    ek = HE.keygen_eval_mult(params, kp, rng)
+
+    out = {"params": {"n": rp.n, "qprime": hex(rp.qprime), "p": 7,
+                      "relin_window": rp.relin_window},
+           "checks": {}}
+    c1 = HE.encrypt(params, kp, [2], rng)
+    assert HE.decrypt(params, kp, c1)[0] == 2
+    c1sq = HE.ct_mul(params, c1, c1)
+    dsq = HE.decrypt(params, kp, c1sq)
+    assert dsq[0] == 4
+    out["checks"]["dec_sq"] = vec_record(dsq)
+    cs = HE.keyswitch(params, ek, c1sq)
+    assert len(cs) == 2
+    dks = HE.decrypt(params, kp, cs)
+    assert dks[0] == 4
+    out["checks"]["dec_keyswitched"] = vec_record(dks)
+    dmul = HE.decrypt(params, kp, HE.ct_mul(params, cs, c1))
+    assert dmul[0] == 1
+    out["checks"]["dec_mul_after_switch"] = vec_record(dmul)
+
+    m = _plain_vec(prng, rp.n, 7)
+    cv = HE.encrypt(params, kp, m, rng)
+    cvs = HE.keyswitch(params, ek, HE.ct_mul(params, cv, cv))
+    out["checks"]["vec_sq_switched"] = vec_record(HE.decrypt(params, kp, cvs))
+    out["plain"] = {"vec": vec_record(m)}
+    return out
+
+
+def run_bfv_crt(seed: int = SEED) -> dict:
+    """test/bfv_crt.jl — hand-built 2-limb 50-bit ciphertext tower +
+    4-limb big ring, p=53, σ=3.2: 6 → dec 6; square → 0x24.
+
+    The reference's literal 4-limb ℛbig (≈2^200) is ~4 bits SHORT of
+    holding the exact centered tensor product at n=2048, q≈2^101 (max
+    coefficient ≈2^204): a handful of coefficients wrap mod ℛbig and
+    decode off-by-±1 — the reference test survives because it asserts
+    only coefficient 0 (bfv_crt.jl:42-47). We therefore record the
+    literal-params scalar assertions (index 0), and take the FULL-vector
+    bit-exact contract on a sound big ring: the same nextprime walk
+    continued two more steps (6 limbs ≈ 2^300), which makes multround
+    exact for every coefficient."""
+    n, ct_tower, big_tower = RP.bfv_crt_reference_tower()
+    ring = HE.Pow2HostRing(n, moduli=ct_tower)
+    big = HE.Pow2HostRing(n, moduli=big_tower)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=53, sigma=3.2,
+                           ring_big=big, relin_window=1,
+                           delta=ring.q // 53)
+    rng = random.Random(seed)
+    prng = np.random.default_rng(seed)
+    kp = HE.keygen(params, rng)
+
+    out = {"params": {"n": n, "tower": [hex(q) for q in ct_tower],
+                      "big_tower": [hex(q) for q in big_tower], "p": 53},
+           "checks": {}}
+    c = HE.encrypt(params, kp, [6], rng)
+    d0 = HE.decrypt(params, kp, c)
+    assert d0[0] == 6
+    out["checks"]["dec"] = vec_record(d0)       # no mul: exact everywhere
+    dsq = HE.decrypt(params, kp, HE.ct_mul(params, c, c))
+    assert dsq[0] == 0x24
+    out["checks"]["dec_sq0"] = int(dsq[0])      # literal reference assertion
+
+    # sound-big-ring variant: same walk, 2 more primes (exact multround)
+    s = 2 * n
+    ext = list(big_tower)
+    for _ in range(2):
+        ext.append(nt.next_prime(ext[-1] + s, s))
+    params_snd = HE.HostParams(ring=ring, scheme="bfv", p=53, sigma=3.2,
+                               ring_big=HE.Pow2HostRing(n, moduli=ext),
+                               relin_window=1, delta=ring.q // 53)
+    out["params"]["big_tower_sound"] = [hex(q) for q in ext]
+    dsq_snd = HE.decrypt(params_snd, kp, HE.ct_mul(params_snd, c, c))
+    assert dsq_snd[0] == 0x24
+    out["checks"]["dec_sq_sound"] = vec_record(dsq_snd)
+    m = _plain_vec(prng, n, 53)
+    cv = HE.encrypt(params_snd, kp, m, rng)
+    out["checks"]["vec_sq"] = vec_record(
+        HE.decrypt(params_snd, kp, HE.ct_mul(params_snd, cv, cv)))
+    out["plain"] = {"vec": vec_record(m)}
+    return out
+
+
+def run_bgv_triv(seed: int = SEED) -> dict:
+    """test/bgv_triv.jl — PALISADE m=4096 ring, p=256, σ=8/√(2π):
+    6 → dec 6; square → 0x24."""
+    n, q = RP.bgv_palisade_ring()
+    ring = HE.Pow2HostRing(n, q=q)
+    params = HE.HostParams(ring=ring, scheme="bgv", p=256)
+    rng = random.Random(seed)
+    prng = np.random.default_rng(seed)
+    kp = HE.keygen(params, rng)
+
+    out = {"params": {"n": n, "q": hex(q), "p": 256}, "checks": {}}
+    c = HE.encrypt(params, kp, [6], rng)
+    d0 = HE.decrypt(params, kp, c)
+    assert d0[0] == 6
+    out["checks"]["dec"] = vec_record(d0)
+    dsq = HE.decrypt(params, kp, HE.ct_mul(params, c, c))
+    assert dsq[0] == 0x24
+    out["checks"]["dec_sq"] = vec_record(dsq)
+
+    m = _plain_vec(prng, n, 256)
+    cv = HE.encrypt(params, kp, m, rng)
+    out["checks"]["vec_sq"] = vec_record(
+        HE.decrypt(params, kp, HE.ct_mul(params, cv, cv)))
+    out["plain"] = {"vec": vec_record(m)}
+    return out
+
+
+def _ckks_decrypt_decode(params, kp, cs, scale):
+    dec = HE.decrypt(params, kp, cs)
+    # π is identity for CKKS; decrypt() returns centered coefficients.
+    return HE.ckks_decode_host(params.ring, [x % params.ring.q for x in dec],
+                               scale)
+
+
+def run_ckks_triv(seed: int = SEED) -> dict:
+    """test/ckks_triv.jl — ring from the BFV estimator (p=7, emc=3),
+    scale 2^40, slots = LinRange(0,1,N/2): encode/square in plain, then
+    encrypted dec and square (atol 1e-4)."""
+    rp = RP.ckks_triv_reference_params()
+    ring = HE.Pow2HostRing(rp.n, q=rp.qprime)
+    params = HE.HostParams(ring=ring, scheme="ckks", sigma=rp.sigma)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 40)
+    nslots = rp.n // 2
+    slots = np.linspace(0.0, 1.0, nslots).astype(np.complex128)
+
+    out = {"params": {"n": rp.n, "qprime": hex(rp.qprime), "scale": "2^40"},
+           "checks": {}}
+    # encoder in isolation (ckks_triv.jl:19-25): encode, ring-square, decode
+    re = HE.ckks_encode_host(ring, slots, scale)
+    sq = ring.mul(re, re)
+    dec_sq = HE.ckks_decode_host(ring, sq, scale * scale)
+    assert np.max(np.abs(dec_sq.real - np.linspace(0, 1, nslots) ** 2)) < 1e-4
+    out["checks"]["plain_sq"] = cvec_record(dec_sq)
+
+    kp = HE.keygen(params, rng)
+    c = HE.encrypt(params, kp, re, rng)
+    d = _ckks_decrypt_decode(params, kp, c, scale)
+    assert np.max(np.abs(d.real - np.linspace(0, 1, nslots))) < 1e-4
+    out["checks"]["dec"] = cvec_record(d)
+    dsq = _ckks_decrypt_decode(params, kp, HE.ct_mul(params, c, c),
+                               scale * scale)
+    assert np.max(np.abs(dsq.real - np.linspace(0, 1, nslots) ** 2)) < 1e-4
+    out["checks"]["dec_sq"] = cvec_record(dsq)
+    return out
+
+
+def run_ckks_modswitch(seed: int = SEED) -> dict:
+    """test/ckks_modswitch.jl — N=2^5, 3×~40-bit tower, scale 2^60:
+    rescale plain-only (atol 1e-5) and encrypted (atol 1e-3)."""
+    n, tower = RP.ckks_modswitch_reference_tower()
+    ring = HE.Pow2HostRing(n, moduli=tower)
+    params = HE.HostParams(ring=ring, scheme="ckks", sigma=3.2)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 60)
+    slots = np.full(n // 2, 2.0, dtype=np.complex128)
+
+    out = {"params": {"n": n, "tower": [hex(q) for q in tower],
+                      "scale": "2^60"}, "checks": {}}
+    re = HE.ckks_encode_host(ring, slots, scale)
+    sub, (rs,) = HE.modswitch(params, (re,))
+    d = HE.ckks_decode_host(sub.ring, rs, scale / tower[-1])
+    assert abs(d[0] - 2.0) < 1e-5
+    out["checks"]["plain_modswitch"] = cvec_record(d)
+
+    kp = HE.keygen(params, rng)
+    c = HE.encrypt(params, kp, re, rng)
+    sub, cs = HE.modswitch(params, c)
+    d = _ckks_decrypt_decode(sub, kp, cs, scale / tower[-1])
+    assert np.max(np.abs(d - slots)) < 1e-3
+    out["checks"]["enc_modswitch"] = cvec_record(d)
+    return out
+
+
+def run_ckks_rotate(seed: int = SEED) -> dict:
+    """test/ckks_rotate.jl — N=2^4, 2-limb tower, scale 2^60, slots
+    1..N/2 with +1i at 0: plain galois(3) = circshift(-1); encrypted
+    manual eval key; GaloisKey steps=1 = circshift(+1)."""
+    n, tower = RP.ckks_rotate_reference_tower()
+    ring = HE.Pow2HostRing(n, moduli=tower)
+    params = HE.HostParams(ring=ring, scheme="ckks", sigma=3.2,
+                           relin_window=1)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 60)
+    slots = np.arange(1, n // 2 + 1, dtype=np.complex128)
+    slots[0] += 1j
+
+    out = {"params": {"n": n, "tower": [hex(q) for q in tower],
+                      "scale": "2^60"}, "checks": {}}
+    re = HE.ckks_encode_host(ring, slots, scale)
+    dplain = HE.ckks_decode_host(ring, ring.galois(re, 3), scale)
+    assert np.max(np.abs(dplain - np.roll(slots, -1))) < 1e-6
+    out["checks"]["plain_galois3"] = cvec_record(dplain)
+
+    kp = HE.keygen(params, rng)
+    # manual eval key σ₃(s) ⇒ s (ckks_rotate.jl:35-40)
+    c = HE.encrypt(params, kp, re, rng)
+    sg = ring.galois(kp.secret, 3)
+    ek = HE.make_eval_key(params, sg, kp, rng, galois_element=3)
+    cg = tuple(ring.galois(ci, 3) for ci in c)
+    d = _ckks_decrypt_decode(params, kp, HE.keyswitch(params, ek, cg), scale)
+    assert np.max(np.abs(d - np.roll(slots, -1))) < 1e-3
+    out["checks"]["enc_galois3"] = cvec_record(d)
+
+    # GaloisKey steps API (ckks_rotate.jl:43-45)
+    gk = HE.keygen_galois(params, kp, rng, steps=1)
+    c2 = HE.encrypt(params, kp, re, rng)
+    d2 = _ckks_decrypt_decode(params, kp, HE.rotate(params, gk, c2), scale)
+    assert np.max(np.abs(d2 - np.roll(slots, 1))) < 1e-3
+    out["checks"]["enc_rotate_step1"] = cvec_record(d2)
+    return out
+
+
+def run_ckks_matmul(seed: int = SEED) -> dict:
+    """test/ckks_matmul.jl — N=2^5, 3-limb tower, 4×4 all-ones matrix by
+    rotation-diagonal matmul on slots 1..16 (atol 1e-5)."""
+    n = 2 ** 5
+    s = 2 * n
+    q0 = nt.next_prime(2 ** 40 + 1, s)
+    q1 = nt.next_prime(q0 + s, s)
+    ps = nt.next_prime(q1 + s, s)
+    tower = [q0, q1, ps]
+    ring = HE.Pow2HostRing(n, moduli=tower)
+    params = HE.HostParams(ring=ring, scheme="ckks", sigma=3.2,
+                           relin_window=1)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 40)
+    nslots = n // 2
+    slots = np.arange(1, nslots + 1, dtype=np.complex128)
+    W = np.ones((4, 4))
+
+    out = {"params": {"n": n, "tower": [hex(q) for q in tower],
+                      "scale": "2^40"}, "checks": {}}
+    kp = HE.keygen(params, rng)
+    c = HE.encrypt(params, kp, HE.ckks_encode_host(ring, slots, scale), rng)
+    gk = HE.keygen_galois(params, kp, rng, steps=4)
+
+    def plain_mul(cs, vec):
+        enc = HE.ckks_encode_host(ring, np.asarray(vec, np.complex128), scale)
+        return tuple(ring.mul(ci, enc) for ci in cs)
+
+    # encrypted_matmul (ckks_matmul.jl:34-43), mirrored in plain numpy
+    result = plain_mul(c, np.tile(np.diag(W), 4))
+    want = np.tile(np.diag(W), 4) * slots
+    rotated = c
+    rot_p = slots
+    for k in range(2, 5):
+        rotated = HE.rotate(params, gk, rotated)
+        rot_p = np.roll(rot_p, 4)
+        diag = np.tile(np.diag(np.roll(W, k - 1, axis=1)), 4)
+        result = HE.ct_add(params, result, plain_mul(rotated, diag))
+        want = want + diag * rot_p
+    d = _ckks_decrypt_decode(params, kp, result, scale * scale)
+    assert np.max(np.abs(d - want)) < 1e-5, np.max(np.abs(d - want))
+    out["checks"]["matmul"] = cvec_record(d)
+    return out
+
+
+SCENARIOS = {
+    "bfv_triv": run_bfv_triv,
+    "bfv_keyswitch": run_bfv_keyswitch,
+    "bfv_crt": run_bfv_crt,
+    "bgv_triv": run_bgv_triv,
+    "ckks_triv": run_ckks_triv,
+    "ckks_modswitch": run_ckks_modswitch,
+    "ckks_rotate": run_ckks_rotate,
+    "ckks_matmul": run_ckks_matmul,
+}
+
+
+def run_all(seed: int = SEED) -> Dict[str, dict]:
+    return {name: fn(seed) for name, fn in SCENARIOS.items()}

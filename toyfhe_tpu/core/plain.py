@@ -92,6 +92,12 @@ def scalar_decode(plain: PlainPoly) -> int:
     return plain[0]
 
 
+def coeff_encode(pring: PlainRing, coeffs) -> PlainPoly:
+    """Full coefficient-vector encoding — the reference tests' OffsetArray
+    assignment form (``plain .= vec``)."""
+    return PlainPoly(pring, np.asarray(coeffs, dtype=np.int64))
+
+
 def slot_encode(pring: PlainRing, slots) -> PlainPoly:
     """SlotEncoding: slot values are the dual (NTT-domain) coefficients of
     the plaintext polynomial (encoding.jl:31-57) — encode = inverse NTT

@@ -138,6 +138,51 @@ class PolyCRTContext:
             slots.append([x % self.q for x in val])
         return slots
 
+    # ---- slot rotation (the ℤm*/⟨p⟩ Galois action on slots) ----
+    #
+    # σ_g: x ↦ x^g permutes the factors of Φm: the factor whose roots are
+    # the coset j·⟨p⟩ maps to the one containing j·g. Integer slot values
+    # are Frobenius-fixed, so σ_g acts on them as a pure permutation —
+    # the general-cyclotomic analogue of the power-of-two slot rotation
+    # (reference gets it from the ring-generic rotate, rlwe_she.jl:355-360
+    # over nemo.jl rings; the slot-level view is new here).
+
+    def galois_slot_permutation(self, g: int) -> List[int]:
+        """π with decode(σ_g a)[i] = decode(a)[π[i]] for integer slots,
+        measured by probing with distinct constants."""
+        from .host_engine import galois_generic
+        ring = G.GenericRing(self.m, self.q)
+        vals = list(range(2, 2 + self.nslots))
+        assert vals[-1] < self.q
+        dec = self.decode(galois_generic(ring, self.encode(vals), g))
+        perm = []
+        for s in dec:
+            assert all(x == 0 for x in s[1:]), \
+                "σ_g does not act integrally on slots"
+            perm.append(vals.index(s[0]))
+        return perm
+
+    def rotation_generator(self):
+        """(g, order): a galois element whose slot action is one
+        nslots-cycle, and the slot ordering in which σ_g is a cyclic
+        shift: decode(σ_g a)[order[i]] = decode(a)[order[(i+1) % ns]]."""
+        import math as _math
+        for g in range(2, self.m):
+            if _math.gcd(g, self.m) != 1:
+                continue
+            perm = self.galois_slot_permutation(g)
+            # follow the cycle from slot 0
+            order = [0]
+            while len(order) < self.nslots:
+                nxt = perm[order[-1]]
+                if nxt in order:
+                    break
+                order.append(nxt)
+            if len(order) == self.nslots and perm[order[-1]] == 0:
+                return g, order
+        raise RuntimeError("no full-cycle galois element found "
+                           "(is ℤm*/⟨p⟩ cyclic?)")
+
     def _divexact_modq(self, a: List[int], b: List[int]) -> List[int]:
         """Exact division of polynomials over ℤ/p^k (b monic)."""
         a = [x % self.q for x in a]
