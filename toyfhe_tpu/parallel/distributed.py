@@ -1,0 +1,191 @@
+"""Multi-host (multi-process) readiness: jax.distributed init, DCN-aware
+mesh construction, and the per-collective communication-volume model.
+
+The reference is single-process (SURVEY §2.9 — no Distributed.jl/MPI);
+this layer is new design. The topology rule (scaling-book recipe): put
+the axes that communicate per-step — residue ('rp') and coefficient
+('cp') — INSIDE a host/slice so their collectives ride ICI, and put
+batch ('dp') ACROSS hosts, since ciphertext-batch parallelism
+communicates nothing per step (each ciphertext's pipeline is
+independent; only key broadcast at setup crosses DCN).
+
+CPU multi-process validation: ``tools/dryrun_multihost.py`` /
+``__graft_entry__.dryrun_multihost`` spawn N local processes with
+virtual CPU devices, initialize the coordination service, and run the
+real sharded step over the global mesh (collectives ride Gloo — the
+same program topology that rides ICI/DCN on a pod).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> None:
+    """Initialize the multi-process runtime (idempotent).
+
+    Thin policy wrapper over ``jax.distributed.initialize``: with no
+    arguments, relies on the cluster environment auto-detection (TPU
+    pods set everything); explicit arguments drive CPU/GPU multi-process
+    runs (tests, the dryrun). No-op when already initialized or when
+    called single-process with no coordinator.
+    """
+    import jax
+
+    # NB: must not touch the backend (jax.devices/process_count) before
+    # initialize — probe the coordination client instead.
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is None and num_processes in (None, 1):
+        return                       # single-process run: nothing to do
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def make_hybrid_mesh(n_rp: int, n_dp: int = 1, n_cp: int = 1,
+                     devices: Optional[Sequence] = None):
+    """('dp','rp'[,'cp']) mesh, DCN-aware across processes.
+
+    Multi-process: 'dp' is laid across the process (DCN) dimension and
+    'rp'/'cp' within each process's devices (ICI), via
+    ``mesh_utils.create_hybrid_device_mesh``. Falls back to a plain
+    reshape for single-process (the virtual-mesh tests).
+    """
+    import jax
+    from jax.sharding import Mesh
+    from jax.experimental import mesh_utils
+
+    axes = ("dp", "rp") if n_cp == 1 else ("dp", "rp", "cp")
+    shape = (n_dp, n_rp) if n_cp == 1 else (n_dp, n_rp, n_cp)
+    total = math.prod(shape)
+    devices = list(devices if devices is not None else jax.devices())[:total]
+    if len(devices) != total:
+        raise ValueError(f"need {total} devices, have {len(devices)}")
+    nproc = len({getattr(d, "process_index", 0) for d in devices})
+    if nproc > 1:
+        per_proc = total // nproc
+        if n_dp % nproc:
+            raise ValueError(
+                f"dp={n_dp} must be a multiple of process count {nproc}: "
+                "the batch axis is the only axis that may cross DCN")
+        ici = (n_dp // nproc,) + shape[1:]
+        dcn = (nproc,) + (1,) * (len(shape) - 1)
+        assert math.prod(ici) == per_proc
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            ici, dcn, devices=devices, process_is_granule=True)
+        return Mesh(dev_mesh, axes)
+    return Mesh(np.asarray(devices).reshape(shape), axes)
+
+
+# ---------------------------------------------------------------------------
+# Communication-volume model (validated against compiled HLO)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CollectiveSite:
+    """One collective in the sharded step, with its predicted payload."""
+    name: str          # site label
+    kind: str          # all-gather | all-to-all | psum (all-reduce)
+    count: int         # invocations per step
+    bytes_per_shard: int   # payload each device contributes per invocation
+
+    @property
+    def total_bytes(self) -> int:
+        return self.count * self.bytes_per_shard
+
+
+def sharded_step_comm_model(n: int, L: int, n_rp: int, batch_per_dev: int = 1,
+                            ncomp: int = 2, dtype_bytes: int = 4
+                            ) -> Dict[str, CollectiveSite]:
+    """Predicted collectives for the rp-sharded square→relin→rescale step
+    (parallel/ops.py::make_sharded_step), per device, per step.
+
+    Derivation from the reference's data flow (SURVEY §5.8):
+      * key-switch digit sharing (rlwe_she.jl:340-344): every limb's
+        centered digit lift must reach every limb's accumulator — ONE
+        all_gather of the local digit block, payload B·(L/n_rp)·N values
+        per device (the ct's last tensor component, limb-sharded);
+      * rescale broadcast (crt.jl:215-220): the dropped limb's residues
+        reach the surviving limbs — ONE all_gather of each component's
+        local last row, payload B·ncomp·1·N values per device.
+    Batch multiplies payloads; 'dp' communicates nothing per step.
+    """
+    per_limb_row = n * dtype_bytes
+    local_rows = -(-L // n_rp)
+    sites = {
+        "keyswitch_digit_share": CollectiveSite(
+            "keyswitch_digit_share", "all-gather", 1,
+            batch_per_dev * local_rows * per_limb_row),
+        "rescale_broadcast": CollectiveSite(
+            "rescale_broadcast", "all-gather", 1,
+            batch_per_dev * ncomp * per_limb_row),
+    }
+    return sites
+
+
+def coeff_ntt_comm_model(n: int, L_local: int, n_cp: int,
+                         batch_per_dev: int = 1, dtype_bytes: int = 4,
+                         transforms: int = 1) -> Dict[str, CollectiveSite]:
+    """Coefficient-sharded four-step NTT (parallel/sharding.py): one
+    all_to_all per transform, payload = the device's full local block
+    (N/n_cp values per limb row) re-partitioned across 'cp'."""
+    payload = batch_per_dev * L_local * (n // n_cp) * dtype_bytes
+    return {"ntt_stage_exchange": CollectiveSite(
+        "ntt_stage_exchange", "all-to-all", transforms, payload)}
+
+
+_HLO_COLLECTIVE_RE = re.compile(
+    r"(all-gather|all-to-all|all-reduce|collective-permute)")
+
+
+_AG_LINE_RE = re.compile(
+    r"=\s*\(?[a-z]+(8|16|32|64)\[([\d,]*)\][^=]*\ball-gather\b[^(]*\("
+    r".*replica_groups=\{\{([\d,]+)\}")
+
+
+def hlo_allgather_payloads(compiled_text: str) -> list:
+    """Per-shard contributed bytes of every all-gather in compiled HLO:
+    result_bytes / replica_group_size (the validation counterpart of
+    :func:`sharded_step_comm_model`'s bytes_per_shard)."""
+    out = []
+    for line in compiled_text.splitlines():
+        m = _AG_LINE_RE.search(line)
+        if m and "-start" not in line:
+            bits = int(m.group(1))
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            group = len(m.group(3).split(","))
+            out.append(math.prod(dims) * (bits // 8) // group)
+    return sorted(out)
+
+
+def count_hlo_collectives(compiled_text: str) -> Dict[str, int]:
+    """Count collective ops in compiled HLO text (validation hook: the
+    predicted site counts must match what XLA actually emitted)."""
+    counts: Dict[str, int] = {}
+    for line in compiled_text.splitlines():
+        line = line.strip()
+        if line.startswith("ROOT"):
+            line = line[4:].lstrip()
+        # opcode appears as "<name> = <type> opcode(" — match the opcode
+        # position only, not tuple-element names
+        m = re.search(r"=\s*[^=]*?\b(all-gather|all-to-all|all-reduce|"
+                      r"collective-permute)\b", line)
+        if m and "-start" not in line.split("=")[1][:60]:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
