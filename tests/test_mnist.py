@@ -29,7 +29,18 @@ def test_geometry():
 
 
 def test_plain_model_trains():
-    params, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=80)
+    # synthetic stand-in: a fast "does the x²-CNN train at all" smoke
+    data = M.synthetic_dataset(SMALL, jax.random.PRNGKey(2), 256)
+    params, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=80, data=data)
+    assert acc > 0.9, acc
+
+
+def test_trains_on_real_digits():
+    """Default data path: REAL handwritten digits (local MNIST if
+    present, else the bundled sklearn scans), held-out accuracy."""
+    data = M.load_real_digits(SMALL)
+    assert data is not None and len(data[1]) > 500   # 4 of 10 classes kept
+    _, acc = M.train(SMALL, jax.random.PRNGKey(0), steps=400, lr=2e-3)
     assert acc > 0.9, acc
 
 

@@ -18,10 +18,13 @@ Pipeline structure mirrors ``infer.jl``:
 The geometry is parameterized (`MNISTConfig`) so the same pipeline runs
 full-size (28×28 images, N=2^13, 49 ciphertexts, 64 rotations — the
 reference shape) and scaled-down for CPU tests. Training uses optax on
-either real MNIST (if a local copy exists) or synthetic class-patterned
-data — this zero-egress environment cannot download datasets; the
-pipeline and plain/encrypted label-agreement checks are dataset-
-independent.
+real handwritten-digit data by default (``load_real_digits``: a local
+MNIST copy via ``load_mnist_local``/``$MNIST_PATH`` when one exists —
+this zero-egress environment never downloads — else the locally-bundled
+UCI handwritten-digits scans from sklearn, resampled to the configured
+geometry), falling back to synthetic class-patterned data only when
+neither source is present. The pipeline and plain/encrypted
+label-agreement checks are dataset-independent.
 """
 
 from __future__ import annotations
@@ -133,16 +136,104 @@ def synthetic_dataset(cfg: MNISTConfig, key, n: int):
     return imgs, labels
 
 
+_MNIST_CANDIDATES = (
+    "{root}/train-images-idx3-ubyte.gz", "{root}/train-images.idx3-ubyte",
+    "{root}/MNIST/raw/train-images-idx3-ubyte.gz",
+    "{root}/mnist.npz",
+)
+
+
+def load_mnist_local(root: str = None):
+    """(imgs float[N,28,28] in [0,1], labels int[N]) from a LOCAL MNIST
+    copy (idx/idx.gz or Keras-style mnist.npz), or None when absent.
+    Looks under ``root``, ``$MNIST_PATH``, ``~/.cache/mnist`` and
+    ``./data`` — this zero-egress environment never downloads."""
+    import gzip
+    import os
+    import struct
+
+    roots = [r for r in (root, os.environ.get("MNIST_PATH"),
+                         os.path.expanduser("~/.cache/mnist"), "data")
+             if r]
+    for rt in roots:
+        for pat in _MNIST_CANDIDATES:
+            path = pat.format(root=rt)
+            if not os.path.exists(path):
+                continue
+            if path.endswith(".npz"):
+                with np.load(path) as z:
+                    return (z["x_train"].astype(np.float32) / 255.0,
+                            z["y_train"].astype(np.int64))
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rb") as f:
+                magic, n, h, w = struct.unpack(">IIII", f.read(16))
+                assert magic == 2051
+                imgs = np.frombuffer(f.read(n * h * w), dtype=np.uint8)
+            lbl_path = path.replace("images-idx3", "labels-idx1") \
+                           .replace("images.idx3", "labels.idx1")
+            with opener(lbl_path, "rb") as f:
+                magic, n2 = struct.unpack(">II", f.read(8))
+                assert magic == 2049 and n2 == n
+                labels = np.frombuffer(f.read(n), dtype=np.uint8)
+            return (imgs.reshape(n, h, w).astype(np.float32) / 255.0,
+                    labels.astype(np.int64))
+    return None
+
+
+def load_real_digits(cfg: MNISTConfig):
+    """Real handwritten-digit data for cfg.image-sized inputs.
+
+    Prefers a local MNIST copy (load_mnist_local; 28×28 only). Falls
+    back to the locally-bundled UCI handwritten-digits set (sklearn
+    ``load_digits``: 1797 real 8×8 scans), nearest-neighbor resampled to
+    cfg.image — real data at any test geometry, no network. Returns
+    (imgs, labels) or None if neither source exists."""
+    if cfg.image == 28:
+        local = load_mnist_local()
+        if local is not None:
+            return local
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError:
+        return None
+    d = load_digits()
+    imgs = d.images.astype(np.float32) / 16.0          # [N, 8, 8] in [0,1]
+    labels = d.target.astype(np.int64)
+    if cfg.classes < 10:                 # scaled-down test geometries
+        keep = labels < cfg.classes
+        imgs, labels = imgs[keep], labels[keep]
+    if cfg.image != 8:
+        idx = (np.arange(cfg.image) * 8) // cfg.image
+        imgs = imgs[:, idx][:, :, idx]
+    return imgs, labels
+
+
 def train(cfg: MNISTConfig, key, steps: int = 300, lr: float = 1e-3,
           data=None):
-    """Train the x²-CNN (train.jl role) with optax Adam."""
+    """Train the x²-CNN (train.jl role) with optax Adam.
+
+    ``data`` — (imgs [N,H,W], labels [N]); default tries real digit data
+    (load_real_digits: a local MNIST copy, else the bundled sklearn
+    digits), then the synthetic stand-in."""
     import optax
 
     kp, kd = jax.random.split(key)
     params = init_params(cfg, kp)
     if data is None:
+        data = load_real_digits(cfg)
+    if data is None:
         data = synthetic_dataset(cfg, kd, 512)
     imgs, labels = data
+    imgs = np.asarray(imgs)[:2048]
+    labels = np.asarray(labels)[:2048]
+    # held-out accuracy (the reference reports ~99% TEST accuracy,
+    # train.jl:6-7): split 80/20 when the set is big enough to afford it
+    n = len(labels)
+    ntr = (n * 4) // 5 if n >= 256 else n
+    test_imgs = jnp.asarray(imgs[ntr:]) if ntr < n else None
+    test_labels = jnp.asarray(labels[ntr:]) if ntr < n else None
+    imgs = jnp.asarray(imgs[:ntr])
+    labels = jnp.asarray(labels[:ntr])
 
     opt = optax.adam(lr)
     state = opt.init(params)
@@ -159,7 +250,12 @@ def train(cfg: MNISTConfig, key, steps: int = 300, lr: float = 1e-3,
 
     for i in range(steps):
         params, state, loss = step(params, state)
-    acc = (jnp.argmax(model_forward(cfg, params, imgs), -1) == labels).mean()
+    if test_imgs is not None:
+        acc = (jnp.argmax(model_forward(cfg, params, test_imgs), -1)
+               == test_labels).mean()
+    else:
+        acc = (jnp.argmax(model_forward(cfg, params, imgs), -1)
+               == labels).mean()
     return params, float(acc)
 
 
