@@ -325,7 +325,9 @@ def naive_rectangular_matmul(setup: FHESetup, weights: np.ndarray, x):
     """Zero-pad a short-fat matrix to square then diagonal matmul
     (infer.jl:169-173)."""
     r, c = weights.shape
-    assert r < c
+    assert r <= c
+    if r == c:
+        return encrypted_matmul(setup, weights, x)
     wpad = np.vstack([weights, np.zeros((c - r, c))])
     return encrypted_matmul(setup, wpad, x)
 
@@ -495,6 +497,104 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
     # rows = positions (class index in first `classes`), cols = images
     mat = dec.reshape(cfg.positions, cfg.batch)
     return mat[:cfg.classes, :]
+
+
+def fhe_setup_bootstrapped(cfg: MNISTConfig, rng, depth: int = 12,
+                           limb_bits: int = 28, scale_log2: int = 28,
+                           **boot_kwargs) -> Tuple[FHESetup, object]:
+    """FHE setup for DEPTH-UNLIMITED inference: bootstrap-grade params
+    (deep ``depth``-limb tower of q₀-sized primes, sparse ternary secret
+    bounding the ModRaise overflow, ModulusRaised keyswitching) plus a
+    BootstrapContext for the same key. Returns (setup, boot_ctx)."""
+    from ..core import bootstrap as B
+
+    ring = F.make_rns_ring(1 << cfg.ring_logn, (limb_bits,) * depth)
+    params = F.ModulusRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4))
+    ks = jax.random.split(rng, 4)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    gk = F.keygen_galois(ks[2], kp.priv, steps=cfg.batch)
+    setup = FHESetup(cfg, params, kp, ek, gk, Fraction(2) ** scale_log2)
+    ctx = B.setup_bootstrap(ks[3], kp.priv, **boot_kwargs)
+    return setup, ctx
+
+
+def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
+                                     model_params, batch: np.ndarray, rng,
+                                     prescale: float = 4.0):
+    """Depth-unlimited encrypted forward pass:
+
+        conv → square → dense1 → square → **bootstrap** → dense2
+
+    Same math as :func:`encrypted_inference`, but after the second
+    square the ciphertext is deliberately exhausted to the base tower
+    and REFRESHED without the secret key (core/bootstrap.py) before the
+    final dense layer runs at the regained depth — the composition the
+    reference cannot express (ToyFHE has no bootstrap; its MNIST
+    pipeline budgets exactly the 6-level tower it needs,
+    infer.jl:97-110). Returns decrypted logits [classes, B] and the
+    refreshed ciphertext's tower depth.
+
+    ``prescale``: the message is divided by this plain scalar before the
+    refresh (EvalMod's sine approximation wants |m| ≲ 1) and the factor
+    is folded back into dense2's weights — exact, costs one level
+    pre-refresh which the bootstrap regains anyway."""
+    from ..core import bootstrap as B
+
+    cfg = setup.cfg
+    ring = setup.params.ring_cipher
+    I = public_preprocess(cfg, batch)
+    keys = jax.random.split(rng, cfg.kernel * cfg.kernel)
+    C = {}
+    for i in range(cfg.kernel):
+        for j in range(cfg.kernel):
+            pt = F.make_plaintext(ring, I[i, j], setup.scale)
+            C[(i, j)] = F.encrypt(setup.kp, pt, keys[i * cfg.kernel + j])
+
+    w = np.asarray(model_params["conv_w"])
+    bconv = np.asarray(model_params["conv_b"])
+    conved = []
+    for c in range(cfg.channels):
+        acc = None
+        for i in range(cfg.kernel):
+            for j in range(cfg.kernel):
+                term = F.mul_plain_scalar(C[(i, j)], float(w[i, j, c]))
+                acc = term if acc is None else F.ct_add(acc, term)
+        conved.append(F.ct_rescale(F.add_plain(acc, float(bconv[c]))))
+
+    sqed1 = [F.ct_rescale(F.keyswitch(setup.ek, F.ct_mul(x, x)))
+             for x in conved]
+
+    w1 = np.asarray(model_params["w1"])
+    d = cfg.positions
+    fq1 = None
+    for ci in range(cfg.channels):
+        part = encrypted_matmul(setup, w1[:, ci * d:(ci + 1) * d], sqed1[ci])
+        fq1 = part if fq1 is None else F.ct_add(fq1, part)
+    fq1 = F.ct_rescale(F.add_plain(
+        fq1, _rep_inner(np.asarray(model_params["b1"]), cfg.batch)))
+
+    sqed2 = F.ct_rescale(F.keyswitch(setup.ek, F.ct_mul(fq1, fq1)))
+
+    # normalize into EvalMod's range, exhaust to the base tower, then
+    # refresh WITHOUT the secret key
+    exhausted = F.ct_rescale(F.mul_plain_scalar(sqed2, 1.0 / prescale))
+    while exhausted.ring.nlimbs > boot_ctx.scale_limbs:
+        exhausted = F.ct_modswitch_drop(exhausted)
+    refreshed = B.bootstrap(boot_ctx, exhausted)
+    depth_out = refreshed.ring.nlimbs
+
+    # dense2 at the REGAINED depth (prescale folded into the weights)
+    w2 = np.asarray(model_params["w2"]) * prescale
+    out = naive_rectangular_matmul(setup, w2, refreshed)
+    b2pad = np.concatenate([np.asarray(model_params["b2"]),
+                            np.zeros(d - cfg.classes)])
+    out = F.add_plain(out, _rep_inner(b2pad, cfg.batch))
+
+    dec = F.decrypt(setup.kp, out).real
+    mat = dec.reshape(cfg.positions, cfg.batch)
+    return mat[:cfg.classes, :], depth_out
 
 
 # ---------------------------------------------------------------------------
