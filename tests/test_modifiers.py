@@ -224,3 +224,27 @@ def test_planner_security_warnings():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         plan_ckks_ring(64, depth=1, scale_bits=26, check_security=False)
+
+
+def test_bfv_params_security_audit():
+    """bfv_params re-audits the RE-PLANNED tower (VERDICT item 7): an
+    oversized limb request must warn, and check_security=False opts
+    out."""
+    import warnings
+
+    import toyfhe_tpu as F
+    from toyfhe_tpu.core.planner import SecurityWarning
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # tiny n=512 heuristic result with huge limbs -> over budget
+        F.bfv_params(7, eval_mult_count=0, limb_bits=30)
+        # eval_mult_count=0 keeps n=512 while the 60-bit default q is
+        # re-planned to 2x30-bit limbs; n=512 supports only ~14 bits at
+        # 128-bit classical security
+        assert any(issubclass(x.category, SecurityWarning) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        F.bfv_params(7, eval_mult_count=0, limb_bits=30,
+                     check_security=False)
+        assert not any(issubclass(x.category, SecurityWarning) for x in w)

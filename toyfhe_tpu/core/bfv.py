@@ -127,10 +127,16 @@ def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,
                r: int = 1, eval_mult_count: int = 0,
                security=cryptparams.HEStd_128_classic,
                relin_window: int = 0,
-               limb_bits: int = 28) -> BFVParams:
+               limb_bits: int = 28,
+               check_security: bool = True) -> BFVParams:
     """Automatic parameter generation matching PALISADE's heuristics
     (``bfv.jl:47-118``), then re-planned onto an RNS tower of ``limb_bits``
     primes (SURVEY §7 hard part 1).
+
+    The heuristic picks n for the requested ``security`` at the MINIMAL
+    q budget; RNS re-planning rounds q up to whole limbs, so the final
+    tower is re-audited against the HEStd table (SecurityWarning when
+    the slack pushed it over; ``check_security=False`` opts out).
     """
     assert r >= 1
     Berr = sigma * math.sqrt(alpha)
@@ -184,6 +190,9 @@ def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,
     # window (test/bfv_noise.jl:34, budget ∈ (1, 10)) shifted by the
     # re-planning slack log2(modulus) − planned_q_bits.
     params.planned_q_bits = float(math.log2(q)) if q > 0 else float(bits)
+    if check_security and isinstance(security, cryptparams.StdSecurity):
+        from .planner import check_tower_security
+        check_tower_security(n, math.log2(ring.modulus), what="BFV tower")
     return params
 
 
