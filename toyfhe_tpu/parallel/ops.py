@@ -255,7 +255,8 @@ def _rem_mp(tabs, stabs, sp_keep: int):
 def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
                                  gct, gsp, rinv_ct, rinv_sp, rescale_inv,
                                  tabs, stabs, bounds=None, axis_name=None,
-                                 lazy=False, mt_ct=None, mt_exp=None):
+                                 lazy=False, mt_ct=None, mt_exp=None,
+                                 fks=None):
     """Square → hybrid (dnum-grouped) relinearize → rescale on ct duals.
 
     The digit decomposition is the on-device fast base conversion of
@@ -308,18 +309,23 @@ def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
         y = jax.lax.all_gather(y_loc, axis_name, axis=1, tiled=True)
     else:
         y = y_loc
-    mpe3 = mpe.expand()
-    digs = []
-    for (lo, hi), cct, csp in zip(bounds, gct, gsp):
-        yi = y[..., None, lo:hi, :]                     # [B, 1, a_j, N]
-        cj = jnp.concatenate([cct, csp], 0)             # [T, a_j, 1]
-        prod = modmath.mont_mul(yi, cj, mpe3)
-        digs.append(modmath.mod_sum(prod, mpe, axis=-2))
-    digs = fwd_e(jnp.stack(digs, axis=-3))              # [B, ndig, T, N]
-    kme = jnp.concatenate([km_ct, km_sp], axis=1)       # [ndig, T, N]
-    kde = jnp.concatenate([kd_ct, kd_sp], axis=1)
-    acc1 = modmath.mod_sum(modmath.mul_mod(digs, kde, mpe), mpe, axis=-3)
-    acc2 = modmath.mod_sum(modmath.mul_mod(digs, kme, mpe), mpe, axis=-3)
+    if fks is not None:
+        # fused VMEM pipeline (ops/pallas_hybrid_ks.py): FBC digits →
+        # MXU NTT → key contraction, digit tensor never in HBM
+        acc1, acc2 = fks(y)
+    else:
+        mpe3 = mpe.expand()
+        digs = []
+        for (lo, hi), cct, csp in zip(bounds, gct, gsp):
+            yi = y[..., None, lo:hi, :]                 # [B, 1, a_j, N]
+            cj = jnp.concatenate([cct, csp], 0)         # [T, a_j, 1]
+            prod = modmath.mont_mul(yi, cj, mpe3)
+            digs.append(modmath.mod_sum(prod, mpe, axis=-2))
+        digs = fwd_e(jnp.stack(digs, axis=-3))          # [B, ndig, T, N]
+        kme = jnp.concatenate([km_ct, km_sp], axis=1)   # [ndig, T, N]
+        kde = jnp.concatenate([kd_ct, kd_sp], axis=1)
+        acc1 = modmath.mod_sum(modmath.mul_mod(digs, kde, mpe), mpe, axis=-3)
+        acc2 = modmath.mod_sum(modmath.mul_mod(digs, kme, mpe), mpe, axis=-3)
 
     # --- contract: divide the accumulator by P (k local rescales —
     # the special rows are replicated, no collective) ---
@@ -355,7 +361,8 @@ def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
     return fwd_c(jnp.where(keep, res, 0))
 
 
-def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True):
+def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True,
+                             fused: bool = False):
     """Build the jitted rp-sharded square→relin→rescale step for a
     HybridRaised parameter set (core/hybrid.py) at the full ct tower.
 
@@ -417,9 +424,15 @@ def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True):
         mt_exp = _mxu_tables(exp_ring.tables) if mt_ct is not None else None
         if mt_exp is None:            # both rings or neither (one gate)
             mt_ct = None
+        fks = None
+        if fused:
+            # builds its own MxuNttTables (asserts 128|N, primes < 2^30);
+            # off-TPU it runs the Pallas interpreter (correctness tests)
+            from ..ops.pallas_hybrid_ks import FusedHybridKS
+            fks = FusedHybridKS(params, ek)
         body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
                                  lazy=lazy, mt_ct=mt_ct,
-                                 mt_exp=mt_exp)
+                                 mt_exp=mt_exp, fks=fks)
         jfn = jax.jit(lambda c: body(
             c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp, rinv_ct, rinv_sp,
             rescale_inv, tabs, stabs))
