@@ -182,7 +182,8 @@ def test_fast_mnist_pipeline():
                         limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
                         scale_log2=28)
     kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
-    params, acc = M.train(cfg, kt, steps=80)
+    data = M.synthetic_dataset(cfg, jax.random.PRNGKey(8), 256)
+    params, acc = M.train(cfg, kt, steps=80, data=data)
     assert acc > 0.9
     imgs, _ = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
     imgs = np.asarray(imgs)
@@ -290,7 +291,8 @@ def test_fast_mnist_pipeline_hybrid():
                         scale_log2=28, gadget="hybrid", dnum=3,
                         num_special=3)
     kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
-    params, acc = M.train(cfg, kt, steps=80)
+    data = M.synthetic_dataset(cfg, jax.random.PRNGKey(8), 256)
+    params, acc = M.train(cfg, kt, steps=80, data=data)
     assert acc > 0.9
     imgs, _ = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
     imgs = np.asarray(imgs)
