@@ -19,10 +19,15 @@ bench (BENCH_BASELINE.json, written on first run).
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LASTGOOD = os.path.join(_HERE, "BENCH_LASTGOOD.json")
 
 
 def _watchdog_smoke(timeout_s=240.0):
@@ -203,15 +208,15 @@ def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
     return batch / t, t
 
 
-def main():
+def child_main():
+    """One full measurement attempt in THIS process. Prints the JSON line
+    on success; exits nonzero (or hangs, to be killed by the parent) on a
+    wedged backend."""
+    if os.environ.get("BENCH_SIMULATE_WEDGE"):
+        time.sleep(10 ** 6)          # kill-test hook for the parent loop
     backend = _watchdog_smoke()
     if backend is None:
-        print(json.dumps({
-            "metric": "ntt_transforms_per_s_chip_n2^14", "value": 0,
-            "unit": "limb-NTT/s", "vs_baseline": 0.0,
-            "backend": "unavailable",
-            "note": "device execute wedged; watchdog tripped"}))
-        os._exit(0)
+        os._exit(3)
     ntt_per_s, ntt_t = _bench_ntt()
     ks_per_s, ks_t = _bench_keyswitch()
     try:
@@ -219,8 +224,7 @@ def main():
     except Exception:
         hks_per_s, hks_t = float("nan"), float("nan")
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_BASELINE.json")
+    base_path = os.path.join(_HERE, "BENCH_BASELINE.json")
     record = {"ntt_per_s": ntt_per_s, "keyswitch_per_s": ks_per_s,
               "backend": backend, "methodology": "chained-jit slope v2"}
     vs = 1.0
@@ -251,5 +255,89 @@ def main():
     print(json.dumps(out), flush=True)
 
 
+def main(attempts=3, attempt_timeout_s=420.0):
+    """Un-losable orchestrator (round-2 VERDICT item 1).
+
+    The tunneled-TPU client can wedge irrecoverably inside one process
+    (jax.devices() works, execution hangs), so each measurement attempt
+    runs in a FRESH subprocess under a hard timeout; between attempts the
+    child is killed by exact pgid and a new client is initialized from
+    scratch. Every good measurement is cached in BENCH_LASTGOOD.json; if
+    all attempts wedge, the last good result is emitted explicitly
+    labeled ``"stale": true`` instead of a value-0 round.
+    """
+    import signal
+
+    def _emit_stale_and_die(signum, frame):
+        # Driver is killing us mid-retry: still get an honest line out.
+        if os.path.exists(_LASTGOOD):
+            rec = json.load(open(_LASTGOOD))
+            rec["stale"] = True
+            rec["note"] = "driver signal during retries; last good shown"
+            print(json.dumps(rec), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_stale_and_die)
+    signal.signal(signal.SIGINT, _emit_stale_and_die)
+
+    notes = []
+    for attempt in range(attempts):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            start_new_session=True, cwd=_HERE)
+        try:
+            # First attempt gets the full budget (cold tunnel ~90s before
+            # the first op); retries get less so three wedges stay inside
+            # a plausible driver timeout.
+            t_limit = (attempt_timeout_s if attempt == 0
+                       else min(attempt_timeout_s, 300.0))
+            out, _ = p.communicate(timeout=t_limit)
+        except subprocess.TimeoutExpired:
+            # kill the exact process group we started (never by pattern)
+            try:
+                os.killpg(os.getpgid(p.pid), 9)
+            except (ProcessLookupError, PermissionError):
+                p.kill()
+            p.wait()
+            notes.append(f"attempt {attempt + 1}: timed out after "
+                         f"{attempt_timeout_s:.0f}s, child killed")
+            continue
+        line = next((l for l in reversed(out.strip().splitlines())
+                     if l.startswith("{")), None)
+        if p.returncode == 0 and line:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                notes.append(f"attempt {attempt + 1}: unparseable output")
+                continue
+            if rec.get("value"):
+                rec["stale"] = False
+                with open(_LASTGOOD, "w") as f:
+                    json.dump(rec, f)
+                print(json.dumps(rec), flush=True)
+                return
+            notes.append(f"attempt {attempt + 1}: zero value")
+        else:
+            notes.append(f"attempt {attempt + 1}: rc={p.returncode} "
+                         "(watchdog tripped or crash)")
+    # All attempts wedged — emit the last good measurement, honestly stale.
+    if os.path.exists(_LASTGOOD):
+        rec = json.load(open(_LASTGOOD))
+        rec["stale"] = True
+        rec["note"] = ("device wedged this run; last good in-session "
+                       "measurement shown. " + "; ".join(notes))
+        print(json.dumps(rec), flush=True)
+        return
+    print(json.dumps({
+        "metric": "ntt_transforms_per_s_chip_n2^14", "value": 0,
+        "unit": "limb-NTT/s", "vs_baseline": 0.0, "backend": "unavailable",
+        "stale": False, "note": "; ".join(notes)}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_main()
+        os._exit(0)
+    main(attempts=int(os.environ.get("BENCH_ATTEMPTS", "3")),
+         attempt_timeout_s=float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420")))

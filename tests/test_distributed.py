@@ -64,4 +64,4 @@ def test_comm_model_matches_compiled_hlo():
 def test_dryrun_multihost_2proc():
     """Spawn 2 real processes; collectives cross the process boundary
     (the DCN stand-in); result bit-exact vs the single-chip step."""
-    GE.dryrun_multihost(n_processes=2, devices_per_process=4, port=12439)
+    GE.dryrun_multihost(n_processes=2, devices_per_process=4)

@@ -154,7 +154,9 @@ def bfv_params(p: int, sigma: float = DEFAULT_SIGMA, alpha: float = 9.0,
     q = 0.0
     if eval_mult_count > 0:
         w = 2.0 ** r
-        eps1 = lambda n: 4 / (delta_fn(n) * Bkey)
+        # Left-to-right like the reference's ``4 / δ(n)*Bkey`` (bfv.jl:69)
+        # so the planned q-bit budget matches refparams.py digit for digit.
+        eps1 = lambda n: 4 / delta_fn(n) * Bkey
         C1 = lambda n: (1 + eps1(n)) * delta_fn(n) ** 2 * p * Bkey
         C2 = lambda n, qP: (delta_fn(n) ** 2 * p * Bkey * (Bkey + p * p)
                             + delta_fn(n) * (math.floor(math.log2(qP) / r) + 1) * w * Berr)

@@ -138,6 +138,8 @@ class Pow2HostRing:
         """x(X) ↦ x(X^g): coefficient i moves to g·i mod N with a sign
         flip when ⌊g·i/N⌋ is odd."""
         n, q = self.n, self.q
+        # g must be odd (a unit of ℤ_{2n}*); an even g aliases indices.
+        assert g % 2 == 1, f"galois element must be odd, got {g}"
         out = [0] * n
         for i, ai in enumerate(a):
             gi = g * i
@@ -159,12 +161,12 @@ class Pow2HostRing:
         assert self.moduli and len(self.moduli) >= 2
         ql = self.moduli[-1]
         sub = Pow2HostRing(self.n, moduli=self.moduli[:-1])
-        inv = pow(ql, -1, sub.q)
         out = []
         for x in a:
             delta = nt.centered(x % ql, ql)
-            out.append((x - delta) // ql % sub.q if (x - delta) % ql == 0
-                       else ((x - delta) % self.q) // ql % sub.q)
+            # delta ≡ x (mod ql) by construction, so the division is exact.
+            assert (x - delta) % ql == 0
+            out.append((x - delta) // ql % sub.q)
         return sub, out
 
 

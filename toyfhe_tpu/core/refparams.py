@@ -68,7 +68,12 @@ def bfv_reference_paramgen(p: int, sigma: float = DEFAULT_SIGMA,
     q = 0.0
     if eval_mult_count > 0:
         w = 2.0 ** r
-        eps1 = lambda nn: 4 / (delta_fn(nn) * Bkey)
+        # NOTE: the reference's Julia ``4 / δ(n)*Bkey`` (bfv.jl:69) parses
+        # left-to-right as (4/δ(n))·Bkey — NOT 4/(δ·Bkey). Mirrored
+        # literally so qPrime/qPrimeLarge/Δ match the reference digit for
+        # digit (advisor round-2 finding: the intended-looking grouping
+        # yields ceil(log2 q)=68 vs the reference's 69 for p=53, emc=2).
+        eps1 = lambda nn: 4 / delta_fn(nn) * Bkey
         C1 = lambda nn: (1 + eps1(nn)) * delta_fn(nn) ** 2 * p * Bkey
         C2 = lambda nn, qP: (delta_fn(nn) ** 2 * p * Bkey * (Bkey + p * p)
                              + delta_fn(nn) * (math.floor(math.log2(qP) / r) + 1) * w * Berr)
