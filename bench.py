@@ -157,22 +157,13 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
     return batch / t, t
 
 
-def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
-    """Throughput of the square→relin→rescale step on the dnum-grouped
-    hybrid gadget (core/hybrid.py): dnum digit NTT batches over L+k
-    limbs instead of L batches over L+1 — the production key-switch.
-    Raising primes are 29-bit requests so the whole expanded tower stays
-    under the 2^30 MXU/lazy gate (a 30-bit request yields 31-bit primes
-    and silently demotes the transforms to radix-2). Synthetic keys
-    (see _bench_keyswitch); correctness vs the eager engine is covered
-    by tests/test_parallel.py."""
-    import jax
+def _make_hybrid_fixture(batch=4, L=7, n=1 << 13, dnum=4, k=3):
+    """Shared synthetic HybridRaised fixture for the keyswitch benches."""
     import jax.numpy as jnp
 
     import toyfhe_tpu as F
     from toyfhe_tpu.core.ring import RingElt
     from toyfhe_tpu.core.rlwe import KeyComponent, KeySwitchKey
-    from toyfhe_tpu.parallel import ops as pops
 
     ring = F.make_rns_ring(n, tuple([28] * L + [29] * k))
     params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), dnum, k)
@@ -190,10 +181,51 @@ def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
         pass
     ek = _EK()
     ek.key = KeySwitchKey(params, comps, key_ring)
-
-    step, place = pops.make_hybrid_sharded_step(None, params, ek)
     cts = jnp.asarray(np.random.default_rng(2).integers(
         0, lim, (batch, 2, L, n)).astype(np.uint32))
+    return params, ek, cts
+
+
+def _bench_keyswitch_fused(batch=4, L=7, n=1 << 13, dnum=4, k=3):
+    """Throughput of the FUSED-schedule square→relin→rescale step
+    (make_hybrid_fused_step: in-group digit reuse + dual-domain ModDown
+    + folded final rescale — 95 → 61 limb transforms per step).
+    Bit-identical to the engine (tests/test_parallel.py)."""
+    import jax
+
+    from toyfhe_tpu.parallel import ops as pops
+
+    params, ek, cts = _make_hybrid_fixture(batch, L, n, dnum, k)
+    step, place = pops.make_hybrid_fused_step(params, ek)
+
+    def chain(K):
+        @jax.jit
+        def f(c):
+            for _ in range(K):
+                out = step(c)
+                c = c.at[:, :, : L - 1, :].set(out[:, :, : L - 1, :])
+            return c
+        return f
+
+    t = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    return batch / t, t
+
+
+def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
+    """Throughput of the square→relin→rescale step on the dnum-grouped
+    hybrid gadget (core/hybrid.py): dnum digit NTT batches over L+k
+    limbs instead of L batches over L+1 — the production key-switch.
+    Raising primes are 29-bit requests so the whole expanded tower stays
+    under the 2^30 MXU/lazy gate (a 30-bit request yields 31-bit primes
+    and silently demotes the transforms to radix-2). Synthetic keys
+    (see _bench_keyswitch); correctness vs the eager engine is covered
+    by tests/test_parallel.py."""
+    import jax
+
+    from toyfhe_tpu.parallel import ops as pops
+
+    params, ek, cts = _make_hybrid_fixture(batch, L, n, dnum, k)
+    step, place = pops.make_hybrid_sharded_step(None, params, ek)
 
     def chain(K):
         @jax.jit
@@ -223,6 +255,10 @@ def child_main():
         hks_per_s, hks_t = _bench_keyswitch_hybrid()
     except Exception:
         hks_per_s, hks_t = float("nan"), float("nan")
+    try:
+        fks_per_s, fks_t = _bench_keyswitch_fused()
+    except Exception:
+        fks_per_s, fks_t = float("nan"), float("nan")
 
     base_path = os.path.join(_HERE, "BENCH_BASELINE.json")
     record = {"ntt_per_s": ntt_per_s, "keyswitch_per_s": ks_per_s,
@@ -247,9 +283,11 @@ def child_main():
         "vs_baseline": _num(vs, 3),
         "keyswitch_per_s": _num(ks_per_s, 2),
         "hybrid_keyswitch_per_s": _num(hks_per_s, 2),
+        "fused_keyswitch_per_s": _num(fks_per_s, 2),
         "ntt_batch_ms": _num(ntt_t * 1e3, 3),
         "keyswitch_step_ms": _num(ks_t * 1e3, 3),
         "hybrid_keyswitch_step_ms": _num(hks_t * 1e3, 3),
+        "fused_keyswitch_step_ms": _num(fks_t * 1e3, 3),
         "backend": backend,
     }
     print(json.dumps(out), flush=True)

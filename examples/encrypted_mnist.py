@@ -32,9 +32,7 @@ def main():
 
     if args.small:
         cfg = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
-                            classes=4, ring_logn=9,
-                            limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
-                            scale_log2=28)
+                            classes=4, ring_logn=9)
     else:
         cfg = M.MNISTConfig()   # reference-shaped: N=2^13, 49 cts, 64 rots
 

@@ -180,7 +180,7 @@ def test_fast_mnist_pipeline():
     cfg = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
                         ring_logn=9,
                         limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
-                        scale_log2=28)
+                        scale_log2=28, gadget="modraise")
     kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
     data = M.synthetic_dataset(cfg, jax.random.PRNGKey(8), 256)
     params, acc = M.train(cfg, kt, steps=80, data=data)

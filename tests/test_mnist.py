@@ -19,7 +19,13 @@ from toyfhe_tpu.models import mnist as M
 SMALL = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
                       ring_logn=9,
                       limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
-                      scale_log2=28)
+                      scale_log2=28, gadget="modraise")
+
+# the production default gadget (hybrid dnum) at the same small geometry
+SMALL_HYB = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
+                          classes=4, ring_logn=9,
+                          limb_bits=(28,) * 7 + (29,) * 3,
+                          scale_log2=28)
 
 
 def test_geometry():
@@ -108,6 +114,26 @@ def test_encrypted_inference_label_agreement():
                                         gks_bsgs=gks)
     np.testing.assert_allclose(bsgs_logits, enc_logits, atol=1e-2)
     assert np.array_equal(np.argmax(bsgs_logits.T, -1),
+                          np.argmax(plain_logits, -1))
+
+
+@pytest.mark.slow
+def test_encrypted_inference_hybrid_gadget():
+    """End-to-end inference on the PRODUCTION (hybrid dnum) gadget —
+    the default serving configuration: label agreement with the
+    plaintext model at the scaled-down geometry."""
+    cfg = SMALL_HYB
+    assert M.fhe_setup(cfg, jax.random.PRNGKey(0)).params.dnum == cfg.dnum
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, _ = M.train(cfg, kt, steps=80)
+    imgs, _ = M.synthetic_dataset(cfg, jax.random.PRNGKey(3), cfg.batch)
+    imgs = np.asarray(imgs)
+    plain_logits = np.asarray(M.model_forward(cfg, params, imgs))
+    setup = M.fhe_setup(cfg, kf)
+    enc_logits = M.encrypted_inference(setup, params, imgs, ke)
+    err = np.abs(enc_logits.T - plain_logits).max()
+    assert err < 0.5, err
+    assert np.array_equal(np.argmax(enc_logits.T, -1),
                           np.argmax(plain_logits, -1))
 
 

@@ -110,6 +110,24 @@ def test_hybrid_single_chip_step_matches(hybrid_setup):
                                   np.asarray(_ct_duals(seq.ring, seq)))
 
 
+def test_hybrid_fused_step_matches(hybrid_setup):
+    """The fused-schedule single-chip step (in-group digit reuse +
+    dual-domain ModDown + folded final rescale) is BIT-identical to the
+    eager engine — the fold is an algebraic refactoring of the same
+    exact modular arithmetic."""
+    params, kp, ek, cts, vals, scale = hybrid_setup
+    ring = params.ring_cipher
+    step, place = pops.make_hybrid_fused_step(params, ek)
+    batch = jnp.stack([_ct_duals(ring, c) for c in cts], 0)
+    out = np.asarray(step(place(batch)))
+    for i, c in enumerate(cts):
+        seq = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+        seq_duals = np.asarray(_ct_duals(seq.ring, seq))
+        np.testing.assert_array_equal(out[i][:, :ring.nlimbs - 1, :],
+                                      seq_duals)
+        assert np.all(out[i][:, -1, :] == 0)
+
+
 def test_sharded_step_decrypts(setup):
     ring, params, kp, ek, cts, vals, scale = setup
     mesh = S.make_mesh(n_rp=4, n_dp=2)

@@ -163,6 +163,35 @@ class HybridRaised(PassthroughParams):
             digs.append(modmath.mod_sum(prod, exp_ring.mp, axis=-2))
         return exp_ring, jnp.stack(digs, axis=0)
 
+    def hybrid_decompose_dual(self, ring: RingContext, x: RingElt
+                              ) -> Tuple[RingContext, jnp.ndarray]:
+        """Digit tensor in the expanded tower's DUAL domain, NTTing only
+        the out-of-group rows: digit j satisfies D_j ≡ x (mod q_i) for
+        every i in group j exactly (the FBC term collapses to
+        x_i·ŷ_i^{-1}·ŷ_i = x_i), so those dual rows are x's own dual
+        rows — already in hand. Saves Lt of the dnum·(Lt+k) digit
+        transforms, bit-exactly."""
+        from ..ops import ntt as nttmod
+        from ..utils import metrics
+        lt = ring.nlimbs
+        exp_ring, digits = self.hybrid_decompose(ring, x)  # [ndig, ..., T, N]
+        xd = R.ensure_dual(ring, x).dual                   # [..., Lt, N]
+        T = exp_ring.nlimbs
+        rows = []
+        for j in range(digits.shape[0]):
+            lo, hi = j * self.alpha, min((j + 1) * self.alpha, lt)
+            out_idx = list(range(lo)) + list(range(hi, T))
+            sub = exp_ring.select(out_idx)
+            res = nttmod.ntt(sub.tables,
+                             jnp.take(digits[j], jnp.asarray(out_idx),
+                                      axis=-2))
+            metrics.count("ntt_limb_transform",
+                          int(np.prod(res.shape[:-1])))
+            rows.append(jnp.concatenate(
+                [res[..., :lo, :], xd[..., lo:hi, :], res[..., lo:, :]],
+                axis=-2))
+        return exp_ring, jnp.stack(rows, axis=0)
+
     def hybrid_key_limbs(self, exp_ring: RingContext) -> List[int]:
         """Positions of the expanded tower's limbs inside the key ring."""
         lt = exp_ring.nlimbs - self.num_special
@@ -173,10 +202,94 @@ class HybridRaised(PassthroughParams):
         """Divide the accumulator by P: num_special rounding rescales
         (crt.jl:215-220 semantics, applied k times). BGV bases use the
         p-adapted rounding (ring.rescale_adapted) so the error stays
-        ≡ 0 mod p; P cancels fully, leaving no message factor."""
+        ≡ 0 mod p; P cancels fully, leaving no message factor.
+
+        Dual-domain accumulators (the key-switch hot path) take the
+        FUSED ModDown: bit-identical to the sequential chain but paying
+        INTT only for the k special rows and ONE ct-tower NTT for the
+        combined correction, instead of a full expanded-tower INTT plus
+        a re-NTT on the subsequent add (round-2 VERDICT item 2)."""
         from . import rlwe
         t = rlwe.bgv_plain_modulus(self)
+        if t is None and a.dual is not None and a.primal is None:
+            return self.hybrid_contract_fused(ring, a)
         for _ in range(self.num_special):
             ring, a = (R.rescale_adapted(ring, a, t) if t is not None
                        else R.rescale(ring, a))
         return ring, a
+
+    def _fused_tables(self, exp_ring: RingContext):
+        """Cached fold constants for ``hybrid_contract_fused`` at this
+        expanded tower: unrolling the k sequential raw-residue rescales
+        (R.rescale drops the LAST limb each time) gives, mod each
+        surviving ct prime q_i,
+
+          b ≡ a·P^{-1} − Σ_{s=1..k} l_s·(p_{k-s}···p_0)^{-1}   (mod q_i)
+
+        where l_s is the raw residue of the step-s accumulator mod the
+        prime dropped at step s — computable from the k special PRIMAL
+        rows alone. All weights are stored in Montgomery column form."""
+        key = ("fused", exp_ring)
+        if key in self._fbc_cache:
+            return self._fbc_cache[key]
+        k = self.num_special
+        lt = exp_ring.nlimbs - k
+        ct_ring = exp_ring.select(range(lt))
+        sp_ring = exp_ring.select(range(lt, lt + k))
+        spp = sp_ring.primes                          # [p_0 .. p_{k-1}]
+        mcol = lambda vals, ps: jnp.asarray(np.array(
+            [[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
+            dtype=np.uint64).astype(np.uint32))
+        pinv = mcol([pow(self.P % p, -1, p) for p in ct_ring.primes],
+                    ct_ring.primes)
+        # step-s weight: (∏_{t=0..k-s} p_t)^{-1} mod q_i  (s = 1..k)
+        wts = []
+        for s in range(1, k + 1):
+            prod = math.prod(spp[: k - s + 1])
+            wts.append(mcol([pow(prod % p, -1, p) for p in ct_ring.primes],
+                            ct_ring.primes))
+        # special-row update constants: at step s the dropped prime is
+        # d_s = p_{k-s}; remaining rows p_0..p_{k-s-1} divide by d_s
+        dinvs = []
+        for s in range(1, k):
+            d = spp[k - s]
+            rem = spp[: k - s]
+            dinvs.append(mcol([pow(d % p, -1, p) for p in rem], rem))
+        self._fbc_cache[key] = (ct_ring, sp_ring, pinv, tuple(wts),
+                                tuple(dinvs))
+        return self._fbc_cache[key]
+
+    def hybrid_contract_fused(self, exp_ring: RingContext, a: RingElt
+                              ) -> Tuple[RingContext, RingElt]:
+        """Fused ModDown of a dual-domain accumulator [..., Lt+k, N]:
+        bit-identical to ``num_special`` sequential :func:`ring.rescale`
+        calls (NTT is linear and exact, so NTT(b) = a_dual·P^{-1} −
+        NTT(C) with C the combined correction polynomial)."""
+        from ..ops import ntt as nttmod
+        from ..utils import metrics
+        k = self.num_special
+        lt = exp_ring.nlimbs - k
+        ct_ring, sp_ring, pinv, wts, dinvs = self._fused_tables(exp_ring)
+        dual = a.dual
+        sp = nttmod.intt(sp_ring.tables, dual[..., lt:, :])   # [..., k, N]
+        metrics.count("ntt_limb_transform",
+                      int(np.prod(sp.shape[:-1])))
+        mp_ct = ct_ring.mp
+        corr = None
+        for s in range(k):
+            l = sp[..., -1:, :]                   # raw residue row, [.., 1, N]
+            sp = sp[..., :-1, :]
+            if sp.shape[-2]:
+                mp_rem = sp_ring.mp.select(list(range(sp.shape[-2])))
+                lm = modmath.umod(l, mp_rem.p)
+                sp = modmath.mont_mul(
+                    modmath.sub_mod(sp, lm, mp_rem), dinvs[s], mp_rem)
+            term = modmath.mont_mul(modmath.umod(l, mp_ct.p), wts[s], mp_ct)
+            corr = term if corr is None else modmath.add_mod(corr, term,
+                                                             mp_ct)
+        corr_dual = nttmod.ntt(ct_ring.tables, corr)
+        metrics.count("ntt_limb_transform", int(np.prod(corr.shape[:-1])))
+        out = modmath.sub_mod(
+            modmath.mont_mul(dual[..., :lt, :], pinv, mp_ct),
+            corr_dual, mp_ct)
+        return ct_ring, RingElt(dual=out)

@@ -71,4 +71,6 @@ class ModulusRaised(PassthroughParams):
         t = rlwe.bgv_plain_modulus(self)
         if t is not None:
             return R.rescale_adapted(ring, c, t)
+        if c.dual is not None and c.primal is None:
+            return R.rescale_dual(ring, c)     # fused, bit-identical
         return R.rescale(ring, c)

@@ -322,6 +322,30 @@ def rescale(ring: RingContext, a: RingElt) -> Tuple[RingContext, RingElt]:
     return sub, RingElt(primal=out)
 
 
+def rescale_dual(ring: RingContext, a: RingElt) -> Tuple[RingContext, RingElt]:
+    """Fused dual-domain rescale: bit-identical to :func:`rescale` (NTT
+    is linear and exact: NTT(b) = a_dual·q_k^{-1} − NTT([a_k]·q_k^{-1}))
+    but pays INTT for ONE row + NTT for L−1 rows instead of a full-tower
+    INTT followed by a re-NTT when the consumer needs the dual — the
+    key-switch contract hot path."""
+    from ..ops import ntt as nttmod
+    from ..utils import metrics
+    assert a.dual is not None
+    sub = ring.drop_last()
+    _, inv_m = ring.rescale_consts()
+    inv_m = jnp.asarray(inv_m)
+    last_ring = ring.select([ring.nlimbs - 1])
+    l = nttmod.intt(last_ring.tables, a.dual[..., -1:, :])   # raw residues
+    metrics.count("ntt_limb_transform", int(np.prod(l.shape[:-1])))
+    mp = sub.mp
+    corr = modmath.mont_mul(modmath.umod(l, mp.p), inv_m, mp)
+    corr_dual = nttmod.ntt(sub.tables, corr)
+    metrics.count("ntt_limb_transform", int(np.prod(corr.shape[:-1])))
+    out = modmath.sub_mod(
+        modmath.mont_mul(a.dual[..., :-1, :], inv_m, mp), corr_dual, mp)
+    return sub, RingElt(dual=out)
+
+
 def rescale_adapted(ring: RingContext, a: RingElt, t: int
                     ) -> Tuple[RingContext, RingElt]:
     """BGV-correct divide-and-round by the last prime: the correction

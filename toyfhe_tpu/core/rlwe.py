@@ -678,23 +678,26 @@ def _keyswitch_hybrid(params, ek: KeySwitchKey, c: CipherText) -> CipherText:
     """dnum-grouped hybrid key-switch (core/hybrid.py): digits are limb
     GROUPS fast-base-converted into the Q_t ∪ P tower; the accumulator
     alone is divided by P (the base components are never pre-scaled)."""
-    from ..ops import ntt as nttmod
     from ..utils import metrics
 
     ring = c.ring
-    exp_ring, digits = params.hybrid_decompose(ring, c.cs[-1])
     metrics.count("keyswitch")
-    metrics.count("ntt_limb_transform", int(digits.shape[0]) * exp_ring.nlimbs)
-    ddual = nttmod.ntt(exp_ring.tables, digits)
+    exp_ring, ddual = params.hybrid_decompose_dual(ring, c.cs[-1])
 
     masks, maskeds = _hybrid_key_stack(params, ek, exp_ring,
-                                       int(digits.shape[0]), ddual.ndim - 3)
+                                       int(ddual.shape[0]), ddual.ndim - 3)
     mp = exp_ring.mp
     acc2 = _mod_sum(modmath.mul_mod(masks, ddual, mp), mp)
     acc1 = _mod_sum(modmath.mul_mod(maskeds, ddual, mp), mp)
 
-    out_ring, a1 = params.hybrid_contract(exp_ring, RingElt(dual=acc1))
-    _, a2 = params.hybrid_contract(exp_ring, RingElt(dual=acc2))
+    # one stacked contraction: the fused ModDown's transforms batch over
+    # both accumulator components in a single NTT call
+    out_ring, a = params.hybrid_contract(
+        exp_ring, RingElt(dual=jnp.stack([acc1, acc2], axis=0)))
+    if a.dual is not None:
+        a1, a2 = RingElt(dual=a.dual[0]), RingElt(dual=a.dual[1])
+    else:                       # sequential fallback returned primal
+        a1, a2 = RingElt(primal=a.primal[0]), RingElt(primal=a.primal[1])
     assert out_ring is ring
     c1 = R.add(ring, c.cs[0], a1)
     c2 = a2 if len(c.cs) == 2 else R.add(ring, c.cs[1], a2)
@@ -767,17 +770,18 @@ class _HoistGadget:
         from ..ops import ntt as nttmod
         from ..utils import metrics
         if self.hybrid:
-            self.exp_ring, digits = self.params.hybrid_decompose(self.ring,
-                                                                 elt)
-        else:
-            if self.exp_ring is None:
-                expand = getattr(self.params, "keyswitch_expand", None)
-                # expand a zero element ONCE to learn the raised tower
-                # (the value is discarded; only the ring matters)
-                self.exp_ring = (expand(self.ring,
-                                        R.zero_like(self.ring, elt))[0]
-                                 if expand is not None else self.ring)
-            digits = gadget_decompose(self.ring, self.exp_ring, elt, 0)
+            self.exp_ring, ddual = self.params.hybrid_decompose_dual(
+                self.ring, elt)
+            self.ndig = int(ddual.shape[0])
+            return ddual
+        if self.exp_ring is None:
+            expand = getattr(self.params, "keyswitch_expand", None)
+            # expand a zero element ONCE to learn the raised tower
+            # (the value is discarded; only the ring matters)
+            self.exp_ring = (expand(self.ring,
+                                    R.zero_like(self.ring, elt))[0]
+                             if expand is not None else self.ring)
+        digits = gadget_decompose(self.ring, self.exp_ring, elt, 0)
         self.ndig = int(digits.shape[0])
         metrics.count("ntt_limb_transform", self.ndig * self.exp_ring.nlimbs)
         return nttmod.ntt(self.exp_ring.tables, digits)

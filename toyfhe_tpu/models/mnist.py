@@ -53,17 +53,20 @@ class MNISTConfig:
     classes: int = 10
     ring_logn: int = 13      # CKKS ring: N = 2^logn, slots = N/2
     # Tower shape mirrors infer.jl:97-110's (60, 40×5, special) re-planned
-    # to small limbs: all-28-bit primes with scale 2^28 — the scale matches
+    # to small limbs: 28-bit ct primes with scale 2^28 — the scale matches
     # the rescale primes (keeps scales stable across levels), the three
     # surviving bottom limbs (2^84) cover the final scale²·value range,
     # primes < 2^30 enable Harvey lazy butterflies everywhere, and the
-    # last limb is the special prime.
-    limb_bits: Tuple[int, ...] = (28,) * 8
+    # last ``num_special`` limbs are the raising primes (29-bit requests
+    # so P ≈ 2^87 ≥ α·Q_group = 3·2^84 — the hybrid digit bound — while
+    # the whole expanded tower stays under the 2^30 MXU/lazy gate).
+    limb_bits: Tuple[int, ...] = (28,) * 7 + (29,) * 3
     scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
-    # key-switch gadget: "modraise" (one special prime, per-limb digits)
-    # or "hybrid" (core/hybrid.py dnum-grouped digits; the last
-    # ``num_special`` limbs of ``limb_bits`` are the raising primes)
-    gadget: str = "modraise"
+    # key-switch gadget: "hybrid" (core/hybrid.py dnum-grouped digits —
+    # the PRODUCTION key switch: dnum digit batches instead of L, keys
+    # dnum/L the size) or "modraise" (one special prime, per-limb digits,
+    # the reference's modulusraising.jl semantics)
+    gadget: str = "hybrid"
     dnum: int = 3
     num_special: int = 3
 

@@ -23,6 +23,7 @@ metadata; SURVEY §7 hard part 4).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -475,6 +476,165 @@ def _repl_table_specs() -> dict:
         "tw": P(None, None, None), "twi": P(None, None, None),
         "bitrev": P(None), "r2": P(None, None), "r1": P(None, None),
     }
+
+
+def make_hybrid_fused_step(params, ek):
+    """Single-chip square → hybrid relinearize → rescale with the FUSED
+    transform schedule (round-2 VERDICT item 2) — bit-identical to
+    ``make_hybrid_sharded_step(None, ...)`` and to the eager engine, but
+    cutting the limb-transform census from L + dnum·T + 2T + 4L to
+    L + dnum·T − L + 2k + 4 + 2(L−1)  (95 → 61 at N=2^13, L=7, dnum=4,
+    k=3):
+
+      * in-group digit rows reuse d3's own dual rows
+        (``hybrid.hybrid_decompose_dual``'s identity, D_j ≡ d3 mod q_i
+        for i ∈ group j);
+      * the P-division runs in the dual domain: INTT only the k special
+        accumulator rows, unroll the sequential rescales into lifts
+        l_1..l_k on those tiny rows, and fold all corrections PLUS the
+        final data-limb rescale into ONE ct-tower NTT —
+        final ≡ acc·(P·q_L)⁻¹ + d·q_L⁻¹ − NTT(Σ_s l_s·w_s·q_L⁻¹ +
+        l_0·q_L⁻¹), with l_0 the raw residue of (acc/P + d) mod q_L
+        computed from a single-row INTT;
+      * d1, d2 never leave the dual domain.
+
+    Returns (jitted step, place): step(c[B, 2, L, N] duals) → same shape,
+    dropped limb zeroed. CKKS/BFV rounding only (raw-residue rescale,
+    crt.jl:215-220); hot loop semantics: rlwe_she.jl:340-344.
+    """
+    from ..core import ring as R
+    from ..ops import ntt as nttmod
+
+    ct_ring = params.ring_cipher
+    L, k = ct_ring.nlimbs, params.num_special
+    exp_ring, eng_groups = params._tables(L)
+    T = exp_ring.nlimbs
+    sp_ring = exp_ring.select(range(L, T))
+    last_ring = ct_ring.select([L - 1])
+    surv_ring = ct_ring.select(range(L - 1))
+
+    # --- key stacks over the expanded tower (digit-major) ---
+    key_ring = params.ring_key
+    which = params.hybrid_key_limbs(exp_ring)
+    km, kd = [], []
+    for comp in ek.key.key[:len(eng_groups)]:
+        _, m = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.mask),
+                             which)
+        _, md = R.limb_select(key_ring, R.ensure_dual(key_ring, comp.masked),
+                              which)
+        km.append(np.asarray(m.dual))
+        kd.append(np.asarray(md.dual))
+    km = jnp.asarray(np.stack(km, 0))                   # [ndig, T, N]
+    kd = jnp.asarray(np.stack(kd, 0))
+
+    # --- FBC constants + per-group out-of-group transform tables ---
+    bounds = tuple(g[0] for g in eng_groups)
+    yinv = jnp.asarray(np.concatenate([g[1] for g in eng_groups], 0))
+    gconsts = tuple(jnp.asarray(g[2]) for g in eng_groups)
+    grp_out = []
+    for (lo, hi) in bounds:
+        out_idx = list(range(lo)) + list(range(hi, T))
+        grp_out.append((jnp.asarray(out_idx),
+                        exp_ring.select(out_idx).tables))
+
+    # --- fold constants (all Montgomery columns) ---
+    mcol = lambda vals, ps: jnp.asarray(np.array(
+        [[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
+        dtype=np.uint64).astype(np.uint32))
+    spp = sp_ring.primes
+    qL = ct_ring.primes[-1]
+    surv = surv_ring.primes
+    P = params.P
+    A = mcol([pow((P * qL) % p, -1, p) for p in surv], surv)
+    Bw = mcol([pow(qL % p, -1, p) for p in surv], surv)
+    prods = [math.prod(spp[: k - s]) for s in range(k)]     # s = 1..k
+    W = tuple(mcol([pow((pr * qL) % p, -1, p) for p in surv], surv)
+              for pr in prods)
+    pinv_L = mcol([pow(P % qL, -1, qL)], [qL])
+    wL = tuple(mcol([pow(pr % qL, -1, qL)], [qL]) for pr in prods)
+    dinvs = tuple(
+        mcol([pow(spp[k - s] % p, -1, p) for p in spp[: k - s]],
+             spp[: k - s])
+        for s in range(1, k))
+
+    mp_ct = ct_ring.mp
+    mp_exp = exp_ring.mp
+    mp_sp = sp_ring.mp
+    mp_last = last_ring.mp
+    mp_surv = surv_ring.mp
+
+    def step(c):
+        c1, c2 = c[:, 0], c[:, 1]
+        # --- homomorphic square (rlwe_she.jl:255-258) ---
+        d1 = modmath.mul_mod(c1, c1, mp_ct)
+        mid = modmath.mul_mod(c1, c2, mp_ct)
+        d2 = modmath.add_mod(mid, mid, mp_ct)
+        d3 = modmath.mul_mod(c2, c2, mp_ct)
+
+        # --- digits: FBC + NTT of out-of-group rows, d3 rows in-group ---
+        d3p = nttmod.intt(ct_ring.tables, d3)               # [B, L, N]
+        y = modmath.mont_mul(d3p, yinv, mp_ct)
+        mpe3 = mp_exp.expand()
+        digs = []
+        for (lo, hi), cj, (oidx, otabs) in zip(bounds, gconsts, grp_out):
+            yi = y[..., None, lo:hi, :]                     # [B, 1, a_j, N]
+            prod = modmath.mont_mul(yi, cj, mpe3)
+            dj = modmath.mod_sum(prod, mp_exp, axis=-2)     # [B, T, N]
+            res = nttmod.ntt(otabs, jnp.take(dj, oidx, axis=-2))
+            digs.append(jnp.concatenate(
+                [res[..., :lo, :], d3[..., lo:hi, :], res[..., lo:, :]],
+                axis=-2))
+        digs = jnp.stack(digs, axis=-3)                     # [B, ndig, T, N]
+        acc1 = modmath.mod_sum(modmath.mul_mod(digs, kd, mp_exp), mp_exp,
+                               axis=-3)
+        acc2 = modmath.mod_sum(modmath.mul_mod(digs, km, mp_exp), mp_exp,
+                               axis=-3)
+        acc = jnp.stack([acc1, acc2], axis=1)               # [B, 2, T, N]
+        d12 = jnp.stack([d1, d2], axis=1)                   # [B, 2, L, N]
+
+        # --- fused ModDown lifts from the special rows only ---
+        sp = nttmod.intt(sp_ring.tables, acc[..., L:, :])   # [B, 2, k, N]
+        lifts = []
+        for s in range(k):
+            l = sp[..., -1:, :]
+            lifts.append(l)
+            sp = sp[..., :-1, :]
+            if sp.shape[-2]:
+                mp_rem = mp_sp.select(list(range(sp.shape[-2])))
+                sp = modmath.mont_mul(
+                    modmath.sub_mod(sp, modmath.umod(l, mp_rem.p), mp_rem),
+                    dinvs[s], mp_rem)
+
+        # --- l_0: raw residue of (acc/P + d) mod q_L, one-row INTT ---
+        last_in = jnp.concatenate(
+            [acc[..., L - 1:L, :], d12[..., L - 1:L, :]], axis=1)
+        last_p = nttmod.intt(last_ring.tables, last_in)     # [B, 4, 1, N]
+        accL, dL = last_p[:, :2], last_p[:, 2:]
+        bL = modmath.mont_mul(accL, pinv_L, mp_last)
+        for s in range(k):
+            bL = modmath.sub_mod(
+                bL, modmath.mont_mul(modmath.umod(lifts[s], mp_last.p),
+                                     wL[s], mp_last), mp_last)
+        l0 = modmath.add_mod(bL, dL, mp_last)               # [B, 2, 1, N]
+
+        # --- one combined-correction NTT over the surviving rows ---
+        D = modmath.mont_mul(modmath.umod(l0, mp_surv.p), Bw, mp_surv)
+        for s in range(k):
+            D = modmath.add_mod(
+                D, modmath.mont_mul(modmath.umod(lifts[s], mp_surv.p),
+                                    W[s], mp_surv), mp_surv)
+        Dd = nttmod.ntt(surv_ring.tables, D)                # [B, 2, L-1, N]
+
+        out = modmath.sub_mod(
+            modmath.add_mod(
+                modmath.mont_mul(acc[..., : L - 1, :], A, mp_surv),
+                modmath.mont_mul(d12[..., : L - 1, :], Bw, mp_surv),
+                mp_surv),
+            Dd, mp_surv)
+        zero = jnp.zeros(out.shape[:-2] + (1, out.shape[-1]), out.dtype)
+        return jnp.concatenate([out, zero], axis=-2)
+
+    return jax.jit(step), lambda x: jnp.asarray(x)
 
 
 def make_single_chip_step(tables, key_masks, key_maskeds):
