@@ -143,7 +143,9 @@ def test_ckks_modraise():
     scale = Fraction(2) ** 40
     vals = np.arange(1, N // 2 + 1, dtype=np.float64)
     c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, scale), ks[1])
-    ek = F.make_eval_key(ks[2], params.lift_old_key(kp.priv.secret), kp.priv)
+    # raw secret: make_eval_key applies the pₛ lift itself, exactly as
+    # the reference dispatch does (modulusraising.jl:28-32)
+    ek = F.make_eval_key(ks[2], kp.priv.secret, kp.priv)
     got = F.decrypt(kp, F.keyswitch(ek, c))
     np.testing.assert_allclose(got.real, vals, atol=1e-8)
 

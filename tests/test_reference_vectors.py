@@ -250,13 +250,113 @@ def test_device_ckks_matmul(golden):
     assert np.max(np.abs(got - want)) < 2e-5
 
 
+def test_device_bfv_simd(golden):
+    """test/bfv_simd.jl on the device path: NTT SlotEncoding at p=65537,
+    slot products EXACTLY equal to the recorded golden slots (BFV is an
+    exact scheme; the slot order is the shared plaintext-field NTT)."""
+    g = golden["bfv_simd"]
+    n = g["params"]["n"]
+    params = F.bfv_params(65537, eval_mult_count=1)
+    assert params.ring_cipher.n == n, \
+        "device param-gen diverged from the reference derivation"
+    pring = params.plaintext_space()
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    kp = F.keygen(params, ks[0])
+
+    s1 = np.zeros(n, dtype=np.int64)
+    s1[0] = s1[1] = 1
+    s2 = np.full(n, 10, dtype=np.int64)
+    s2[0] = 5
+    c1 = F.encrypt(kp, F.slot_encode(pring, s1), ks[1])
+    c2 = F.encrypt(kp, F.slot_encode(pring, s2), ks[2])
+    dec = F.slot_decode(F.decrypt(kp, F.ct_mul(c1, c2)))
+    assert dec[0] == 5 and dec[1] == 10 and not np.any(dec[2:])
+    _expect(g["checks"]["slots_mul"], dec)
+
+    sv = np.random.default_rng(G.SEED).integers(0, 65537, size=n)
+    _expect(g["plain"]["slots"], sv)
+    cv = F.encrypt(kp, F.slot_encode(pring, sv), ks[1])
+    decv = F.slot_decode(F.decrypt(kp, F.ct_mul(cv, cv)))
+    _expect(g["checks"]["vec_slots_sq"], decv)
+
+
+def test_device_ckks_modraise(golden):
+    """test/ckks_modraise.jl on the device path: ModulusRaised keyswitch
+    round-trip at the re-planned tower vs the golden decode (reference
+    bound 1e-8 + the device suite's own ≤1e-9 bound)."""
+    g = golden["ckks_modraise"]
+    n = g["params"]["n"]
+    want = np.array([complex(r, i) for r, i in g["checks"]["roundtrip"]])
+    ring = F.make_rns_ring(n, (30, 29, 29))
+    params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    scale = Fraction(2) ** 40
+    vals = np.arange(1, n // 2 + 1, dtype=np.float64)
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    kp = F.keygen(params, ks[0])
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals, scale),
+                  ks[1])
+    ek = F.make_eval_key(ks[2], kp.priv.secret, kp.priv)
+    got = F.decrypt(kp, F.keyswitch(ek, c))
+    assert np.max(np.abs(got - want)) < 2e-8
+
+
+def test_device_ckks_device_tower_bitexact(golden):
+    """Device-tower goldens: the host engine recorded ciphertext, keys
+    and raw decrypt integers AT the device's own <2^31 tower; the device
+    engine imports the material, runs square → RNS keyswitch → rescale,
+    and the raw decrypted integers must match BIT-exactly — every CKKS
+    device op pinned integer-for-integer, no float tolerances."""
+    import jax.numpy as jnp
+
+    from toyfhe_tpu.core import rlwe
+
+    g = golden["ckks_device_tower"]
+    n = g["params"]["n"]
+    tower = [int(h, 16) for h in g["params"]["tower"]]
+    ring = F.make_ring(n, tower)
+    assert ring.primes == tower, "device prime walk diverged"
+    params = F.CKKSParams(ring, 0, 3.2)
+
+    unhex = lambda xs: [int(h, 16) for h in xs]
+    imp = lambda xs: F.RingElt(primal=jnp.asarray(ring.from_bigint(unhex(xs))))
+    secret = imp(g["material"]["secret"])
+    kp = rlwe.PrivKey(params, secret)
+    cs = tuple(imp(comp) for comp in g["material"]["ct"])
+    c = F.CipherText(params, cs, ring)
+    comps = [rlwe.KeyComponent(mask=imp(m), masked=imp(md))
+             for m, md in zip(g["material"]["ek_masks"],
+                              g["material"]["ek_maskeds"])]
+    ek = rlwe.EvalMultKey(rlwe.KeySwitchKey(params, comps, ring))
+
+    out = F.ct_rescale(F.keyswitch(ek, F.ct_mul(c, c)))
+    raw = ringops.ensure_primal(out.ring, F.decrypt_raw(kp, out))
+    ints = out.ring.to_bigint(np.asarray(raw.primal))
+    _expect(g["checks"]["raw_rescaled"], ints)
+
+
+def test_device_polycrt_encoding(golden):
+    """test/polycrt_encoding.jl on the designated backend (host PolyCRT
+    — the FLINT role stays host-side per SURVEY §2.8): recorded encode
+    polynomial and slot round-trip, exactly."""
+    from toyfhe_tpu.core.polycrt import PolyCRTContext
+
+    g = golden["polycrt_encoding"]
+    ctx = PolyCRTContext(g["params"]["m"], g["params"]["p"])
+    slots = [[1, 1, 0], [1, 0, 1]]
+    coeffs = ctx.encode(slots)
+    _expect(g["checks"]["encoded_poly"], coeffs)
+    assert ctx.decode(coeffs) == g["checks"]["decoded_slots"]
+
+
 # ---------------------------------------------------------------------------
 # host engine reproduces the recording bit-exactly (slow tier)
 # ---------------------------------------------------------------------------
 
 _FAST_HOST = ["ckks_rotate", "ckks_modswitch", "ckks_matmul", "bgv_triv",
-              "bfv_crt"]
-_SLOW_HOST = ["bfv_triv", "bfv_keyswitch", "ckks_triv"]
+              "bfv_crt", "polycrt_encoding", "bfv_uint8", "ckks_modraise",
+              "ckks_device_tower"]
+_SLOW_HOST = ["bfv_triv", "bfv_keyswitch", "ckks_triv", "bfv_simd",
+              "bfv_noise"]
 
 
 def _assert_scenario_reproduced(golden, name):
@@ -266,11 +366,16 @@ def _assert_scenario_reproduced(golden, name):
     assert set(got["checks"]) == set(want["checks"])
     for key, rec in want["checks"].items():
         grec = got["checks"][key]
-        if isinstance(rec, list):      # complex slots: float64-exact replay
+        if (isinstance(rec, list) and rec and isinstance(rec[0], list)
+                and len(rec[0]) == 2 and isinstance(rec[0][0], float)):
+            # complex slots: float64-exact replay
             assert G.cvec_err(rec, [complex(r, i) for r, i in grec]) == 0.0, \
                 f"{name}.{key} diverged"
-        else:                          # exact integer vector record / scalar
+        else:   # exact integers / scalars / dict traces (json-exact)
             assert grec == rec, f"{name}.{key} diverged"
+    if "material" in want:
+        assert got["material"] == want["material"], \
+            f"{name} recorded key/ciphertext material diverged"
 
 
 @pytest.mark.parametrize("name", _FAST_HOST)

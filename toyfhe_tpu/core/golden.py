@@ -383,15 +383,261 @@ def run_ckks_matmul(seed: int = SEED) -> dict:
     return out
 
 
+def run_bfv_simd(seed: int = SEED) -> dict:
+    """test/bfv_simd.jl — BFVParams(65537; eval_mult_count=1), NTT
+    SlotEncoding: slots (1,1,0,…)·(5,10,10,…) → (5,10,0,…). Plus a full
+    deterministic slot vector. Slot order is the plaintext-field NTT of
+    core/plain.py (exact integer arithmetic mod p — one convention for
+    host and device)."""
+    from . import plain as PL
+
+    rp = RP.bfv_reference_paramgen(65537, eval_mult_count=1)
+    ring = HE.Pow2HostRing(rp.n, q=rp.qprime)
+    big = HE.Pow2HostRing(rp.n, q=rp.qprime_large)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=65537, sigma=rp.sigma,
+                           ring_big=big, relin_window=rp.relin_window,
+                           delta=rp.delta)
+    rng = random.Random(seed)
+    prng = np.random.default_rng(seed)
+    pring = PL.PlainRing(rp.n, 65537)
+    kp = HE.keygen(params, rng)
+
+    out = {"params": {"n": rp.n, "qprime": hex(rp.qprime),
+                      "qprime_large": hex(rp.qprime_large), "p": 65537},
+           "checks": {}}
+    s1 = np.zeros(rp.n, dtype=np.int64)
+    s1[0] = s1[1] = 1                                  # plain[0]=plain[1]=1
+    s2 = np.full(rp.n, 10, dtype=np.int64)
+    s2[0] = 5                                          # plain2[:]=10, [0]=5
+    c1 = HE.encrypt(params, kp, list(PL.slot_encode(pring, s1).coeffs), rng)
+    c2 = HE.encrypt(params, kp, list(PL.slot_encode(pring, s2).coeffs), rng)
+    y = HE.ct_mul(params, c1, c2)
+    dec = PL.slot_decode(PL.PlainPoly(pring, np.asarray(
+        HE.decrypt(params, kp, y), dtype=np.int64)))
+    assert dec[0] == 5 and dec[1] == 10 and not dec[2:].any()
+    out["checks"]["slots_mul"] = vec_record(dec)
+
+    sv = prng.integers(0, 65537, size=rp.n)
+    cv = HE.encrypt(params, kp,
+                    list(PL.slot_encode(pring, sv).coeffs), rng)
+    decv = PL.slot_decode(PL.PlainPoly(pring, np.asarray(
+        HE.decrypt(params, kp, HE.ct_mul(params, cv, cv)), dtype=np.int64)))
+    assert (decv == (sv * sv) % 65537).all()
+    out["checks"]["vec_slots_sq"] = vec_record(decv)
+    out["plain"] = {"slots": vec_record(sv)}
+    return out
+
+
+def run_bfv_noise(seed: int = SEED) -> dict:
+    """test/bfv_noise.jl — BFVParams(7; eval_mult_count=3): the
+    invariant-noise-budget trace through 3 muls + relins at the
+    reference's own modulus. The worst Δ-lattice residues are exact
+    integers — the recordable golden quantity; budgets (floats) follow
+    from them. Asserts the reference's strict ordering and the final
+    1 < b < 10 window (bfv_noise.jl:21-34)."""
+    rp = RP.bfv_reference_paramgen(7, eval_mult_count=3)
+    ring = HE.Pow2HostRing(rp.n, q=rp.qprime)
+    big = HE.Pow2HostRing(rp.n, q=rp.qprime_large)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=7, sigma=rp.sigma,
+                           ring_big=big, relin_window=rp.relin_window,
+                           delta=rp.delta)
+    rng = random.Random(seed)
+    kp = HE.keygen(params, rng)
+    ek = HE.keygen_eval_mult(params, kp, rng)
+
+    c1 = HE.encrypt(params, kp, [2], rng)
+    trace = []
+
+    def probe(tag, cs):
+        b, worst = HE.invariant_noise_budget(params, kp, cs)
+        trace.append({"step": tag, "worst": hex(worst), "budget": round(b, 6)})
+        return b
+
+    b1 = probe("fresh", c1)
+    c1sq = HE.ct_mul(params, c1, c1)
+    b2 = probe("square", c1sq)
+    assert b2 < b1
+    cswitch1 = HE.keyswitch(params, ek, c1sq)
+    bswitch1 = probe("keyswitch1", cswitch1)
+    cswitchmul = HE.ct_mul(params, cswitch1, c1)
+    bswitchmul = probe("mul2", cswitchmul)
+    assert bswitchmul < bswitch1 < b1
+    cswitch2 = HE.keyswitch(params, ek, cswitchmul)
+    bswitch2 = probe("keyswitch2", cswitch2)
+    cswitchmul2 = HE.ct_mul(params, cswitch2, c1)
+    bswitchmul2 = probe("mul3", cswitchmul2)
+    assert bswitchmul2 < bswitch2 < bswitch1
+    assert 1 < bswitchmul2 < 10, bswitchmul2         # bfv_noise.jl:34
+    dec = HE.decrypt(params, kp, cswitchmul2)
+    assert dec[0] == pow(2, 4, 7)
+    return {"params": {"n": rp.n, "qprime": hex(rp.qprime), "p": 7},
+            "checks": {"trace": trace, "dec_final": vec_record(dec)}}
+
+
+def run_bfv_uint8(seed: int = SEED) -> dict:
+    """test/bfv_uint8.jl — prime cyclotomic found by factor count
+    (m=31 for >3 slots over 𝔽₂), p=256 Hensel slots, q=nextprime(2^51),
+    ℛbig at nextprime(2^111): slots (1..6) → squares mod 256."""
+    from . import generic_ring as G
+    from .polycrt import PolyCRTContext
+
+    m = 2
+    while True:                     # find_cyclotomic (bfv_uint8.jl:20-31)
+        m = nt.next_prime(m + 1)
+        d = 1
+        while pow(2, d, m) != 1:
+            d += 1
+        if (m - 1) // d > 3:
+            break
+    q = nt.next_prime(2 ** 51 + 1)
+    qbig = nt.next_prime(2 ** 111 + 1)
+    ring = G.GenericRing(m, q)
+    params = HE.HostParams(ring=ring, scheme="bfv", p=256,
+                           ring_big=G.GenericRing(m, qbig),
+                           relin_window=1, delta=q // 256)
+    ctx = PolyCRTContext(m, 2, 8)
+    rng = random.Random(seed)
+    kp = HE.keygen(params, rng)
+
+    vals = [1, 2, 3, 4, 5, 6]
+    c1 = HE.encrypt(params, kp, ctx.encode(vals), rng)
+    dec = HE.decrypt(params, kp, HE.ct_mul(params, c1, c1))
+    slots = ctx.decode(dec)
+    assert [s[0] for s in slots[:6]] == [v * v % 256 for v in vals]
+    assert all(all(x == 0 for x in s[1:]) for s in slots[:6])
+    return {"params": {"m": m, "q": hex(q), "qbig": hex(qbig), "p": 256,
+                       "nslots": ctx.nslots, "d": ctx.d},
+            "checks": {"dec_sq_poly": vec_record(dec),
+                       "slots_sq": [s for s in slots]}}
+
+
+def run_polycrt_encoding(seed: int = SEED) -> dict:
+    """test/polycrt_encoding.jl — Φ₇ over 𝔽₂, no crypto: slots β+1,
+    β²+1 encode to a ring element and decode back exactly
+    (polycrt_encoding.jl:14-22)."""
+    from .polycrt import PolyCRTContext
+
+    ctx = PolyCRTContext(7, 2)
+    assert ctx.nslots == 2 and ctx.d == 3
+    slots = [[1, 1, 0], [1, 0, 1]]                  # β+1, β²+1
+    coeffs = ctx.encode(slots)
+    dec = ctx.decode(coeffs)
+    assert dec[0] == [1, 1, 0] and dec[1] == [1, 0, 1]
+    return {"params": {"m": 7, "p": 2, "nslots": 2, "d": 3},
+            "checks": {"encoded_poly": vec_record(coeffs),
+                       "decoded_slots": dec}}
+
+
+def run_ckks_modraise(seed: int = SEED) -> dict:
+    """test/ckks_modraise.jl — N=2^5, tower (q₀,q₁,pₛ) from the 2^40
+    walk, ModulusRaised(CKKSParams(ℛ, 0, 3.2)), scale 2^40, slots
+    1..N/2: keyswitch(make_eval_key(s⇒s), c) round-trips to the
+    plaintext within 1e-8. Host semantics mirror modulusraising.jl:
+    keys at the full tower encrypt pₛ·old; the ciphertext digit lift is
+    per-ct-limb (relin_window=0); c₁ rides the pₛ-scaled channel; the
+    accumulator is rescaled by pₛ."""
+    n = 2 ** 5
+    s = 2 * n
+    q0 = nt.next_prime(2 ** 40 + 1, s)
+    q1 = nt.next_prime(q0 + s, s)
+    ps = nt.next_prime(q1 + s, s)
+    full = HE.Pow2HostRing(n, moduli=[q0, q1, ps])
+    ct_ring = HE.Pow2HostRing(n, moduli=[q0, q1])
+    pfull = HE.HostParams(ring=full, scheme="ckks", sigma=3.2,
+                          relin_window=0)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 40)
+    slots = np.arange(1, n // 2 + 1, dtype=np.complex128)
+
+    kp = HE.keygen(pfull, rng)                      # secret at full tower
+    # encrypt at the full tower, drop the special limb
+    # (modulusraising.jl:23-26)
+    re = HE.ckks_encode_host(ct_ring, slots, scale)
+    c_full = HE.encrypt(pfull, kp, [0] * n, rng)
+    c = tuple([x % ct_ring.q for x in comp] for comp in c_full)
+    c = (ct_ring.add(c[0], re), c[1])
+    # eval key s ⇒ s lifted by pₛ (make_eval_key override,
+    # modulusraising.jl:28-32), RNS digits over the FULL tower
+    ek = HE.make_eval_key(pfull, full.scalar(ps, kp.secret), kp, rng)
+
+    # keyswitch with expand/contract (modulusraising.jl:35-49): digits
+    # are the ct-limb centered lifts; c₁ is pₛ-scaled into the full tower
+    digits = [[nt.centered(x % qi, qi) % full.q for x in c[1]]
+              for qi in [q0, q1]]
+    c1e = [ps * (x % ct_ring.q) % full.q for x in c[0]]
+    c2e = full.zero()
+    for i, dig in enumerate(digits):                # first Lt key digits
+        c2e = full.add(c2e, full.mul(ek.masks[i], dig))
+        c1e = full.add(c1e, full.mul(ek.maskeds[i], dig))
+    _, o1 = full.rescale(c1e)
+    _, o2 = full.rescale(c2e)
+
+    pct = HE.HostParams(ring=ct_ring, scheme="ckks", sigma=3.2)
+    d = _ckks_decrypt_decode(pct, kp, (o1, o2), scale)
+    err = float(np.max(np.abs(d - slots)))
+    assert err < 1e-8, err                          # ckks_modraise.jl:30
+    return {"params": {"n": n, "tower": [hex(q0), hex(q1), hex(ps)],
+                       "scale": "2^40"},
+            "checks": {"roundtrip": cvec_record(d),
+                       "err": err}}
+
+
+def run_ckks_device_tower(seed: int = SEED) -> dict:
+    """Device-tower CKKS goldens (round-2 VERDICT item 5): the host
+    engine runs at the DEVICE's own re-planned <2^31 RNS tower and
+    records the ciphertext, keys and raw decrypted integers for
+    encrypt → square → RNS-keyswitch → rescale. The device test imports
+    the recorded ciphertext/keys as residues, runs ITS engine, and the
+    raw integers must match BIT-exactly (all ops are exact integer
+    arithmetic) — no summed float tolerances."""
+    n = 2 ** 5
+    tower = nt.ntt_prime_chain(n, (28, 28, 28))
+    ring = HE.Pow2HostRing(n, moduli=tower)
+    params = HE.HostParams(ring=ring, scheme="ckks", sigma=3.2,
+                           relin_window=0)
+    rng = random.Random(seed)
+    scale = Fraction(2 ** 26)
+    slots = np.linspace(0.1, 1.0, n // 2).astype(np.complex128)
+
+    kp = HE.keygen(params, rng)
+    ek = HE.keygen_eval_mult(params, kp, rng)
+    re = HE.ckks_encode_host(ring, slots, scale)
+    c = HE.encrypt(params, kp, re, rng)
+    csq = HE.ct_mul(params, c, c)
+    cks = HE.keyswitch(params, ek, csq)
+    sub, crs = HE.modswitch(params, cks)
+
+    raw = HE.decrypt_raw(sub, kp, crs, sub.ring)
+    d = HE.ckks_decode_host(sub.ring, raw, scale * scale / tower[-1])
+    assert np.max(np.abs(d - slots ** 2)) < 1e-4
+
+    hexv = lambda xs: [hex(int(x)) for x in xs]
+    return {"params": {"n": n, "tower": [hex(q) for q in tower],
+                       "scale": "2^26"},
+            "material": {
+                "secret": hexv(kp.secret),
+                "ct": [hexv(comp) for comp in c],
+                "ek_masks": [hexv(m) for m in ek.masks],
+                "ek_maskeds": [hexv(m) for m in ek.maskeds]},
+            "checks": {"raw_rescaled": vec_record(raw),
+                       "decoded": cvec_record(d)}}
+
+
 SCENARIOS = {
     "bfv_triv": run_bfv_triv,
     "bfv_keyswitch": run_bfv_keyswitch,
     "bfv_crt": run_bfv_crt,
+    "bfv_simd": run_bfv_simd,
+    "bfv_noise": run_bfv_noise,
+    "bfv_uint8": run_bfv_uint8,
+    "polycrt_encoding": run_polycrt_encoding,
     "bgv_triv": run_bgv_triv,
     "ckks_triv": run_ckks_triv,
     "ckks_modswitch": run_ckks_modswitch,
     "ckks_rotate": run_ckks_rotate,
     "ckks_matmul": run_ckks_matmul,
+    "ckks_modraise": run_ckks_modraise,
+    "ckks_device_tower": run_ckks_device_tower,
 }
 
 

@@ -156,17 +156,15 @@ class Pow2HostRing:
         return Pow2HostRing(self.n, moduli=self.moduli[:-1])
 
     def rescale(self, a: Sequence[int]) -> Tuple["Pow2HostRing", List[int]]:
-        """Exact divide-and-round by the last prime (crt.jl:215-220):
-        c' = (c − [c]_{q_last, centered}) / q_last over the shorter tower."""
+        """Exact divide by the last prime (crt.jl:215-220):
+        c' = (c − [c]_{q_last}) / q_last over the shorter tower, using the
+        RAW [0, q_last) representative of the dropped limb exactly as the
+        reference's ``convert(Integer, ct_qk)`` (crt.jl:218) — and as the
+        device path (ring.rescale)."""
         assert self.moduli and len(self.moduli) >= 2
         ql = self.moduli[-1]
         sub = Pow2HostRing(self.n, moduli=self.moduli[:-1])
-        out = []
-        for x in a:
-            delta = nt.centered(x % ql, ql)
-            # delta ≡ x (mod ql) by construction, so the division is exact.
-            assert (x - delta) % ql == 0
-            out.append((x - delta) // ql % sub.q)
+        out = [(x - x % ql) // ql % sub.q for x in a]
         return sub, out
 
 
@@ -291,13 +289,20 @@ def encrypt(params: HostParams, kp: HostKeyPair, plain_coeffs: Sequence[int],
 
 
 def decrypt(params: HostParams, kp: HostKeyPair, cs, ring=None) -> List[int]:
-    """rlwe_she.jl:199-217 — b = Σ cᵢ·sⁱ, then π."""
+    """rlwe_she.jl:199-217 — b = Σ cᵢ·sⁱ, then π. The key auto-aligns to
+    a shorter tower (rlwe_she.jl:202-204): the secret has small centered
+    coefficients, so centered reduction into the shorter modulus is the
+    exact limb-drop re-embedding."""
+    ring = ring or params.ring
+    return params.decode(decrypt_raw(params, kp, cs, ring), ring)
+
+
+def decrypt_raw(params: HostParams, kp: HostKeyPair, cs, ring=None) -> List[int]:
+    """b = Σ cᵢ·sⁱ without the π decode (rlwe_she.jl:206-212) — the
+    noise-budget probe's input (bfv.jl:150-153)."""
     ring = ring or params.ring
     secret = kp.secret
     if kp.q and kp.q != ring.q:
-        # auto-align key to a shorter tower (rlwe_she.jl:202-204): the
-        # secret has small centered coefficients, so centered reduction
-        # into the shorter modulus is the exact limb-drop re-embedding.
         secret = [nt.centered(x, kp.q) % ring.q for x in secret]
     b = list(cs[0])
     spow = secret
@@ -305,7 +310,25 @@ def decrypt(params: HostParams, kp: HostKeyPair, cs, ring=None) -> List[int]:
         b = ring.add(b, ring.mul(spow, cs[i]))
         if i + 1 < len(cs):
             spow = ring.mul(spow, secret)
-    return params.decode(b, ring)
+    return b
+
+
+def invariant_noise_budget(params: HostParams, kp: HostKeyPair, cs
+                           ) -> Tuple[float, int]:
+    """SEAL invariant noise budget −log2(2‖v‖) at the reference's own
+    modulus (bfv.jl:136-164): decrypt raw, measure the worst distance of
+    any coefficient from the Δ lattice. Returns (budget_bits, worst) —
+    ``worst`` is an exact integer, the recordable golden quantity."""
+    b = decrypt_raw(params, kp, cs)
+    delta = params.delta
+    worst = 1
+    for x in b:
+        r = int(x) % delta
+        r = delta - r if r > delta // 2 else r
+        worst = max(worst, r)
+    budget = (math.log2(params.ring.q) - math.log2(params.p) - 1
+              - math.log2(worst))
+    return budget, worst
 
 
 def ct_add(params: HostParams, a, b):

@@ -527,12 +527,19 @@ def make_eval_key(rng, old: RingElt, new: PrivKey,
                   key_params: Optional[SchemeParams] = None) -> KeySwitchKey:
     """Key-switching key old→new.secret (rlwe_she.jl:273-298).
 
-    ``old`` is a ring element in new's key ring (e.g. s², σ(s), or ps·s
-    for ModulusRaised).
+    ``old`` is a ring element in new's key ring (e.g. s² or σ(s)).
+    Scheme modifiers that pre-scale the old key apply their lift HERE —
+    exactly as the reference's dispatch on ``PrivKey{<:ModulusRaised}``
+    multiplies pₛ·old inside make_eval_key (modulusraising.jl:28-32) —
+    so a direct call with the raw secret (test/ckks_modraise.jl:30)
+    builds a usable key.
     """
     params = key_params if key_params is not None else new.params
     gen_params = new.params
     ring = gen_params.ring_key
+    hook = getattr(gen_params, "lift_old_key", None)
+    if hook is not None:
+        old = hook(old)
     window = params.relin_window
     # digit ring: decomposition happens over the *ciphertext* tower; keys
     # are generated over the full key tower. Factors are taken over the
@@ -560,10 +567,8 @@ def _is_modraised(params) -> bool:
 
 def keygen_eval_mult(rng, priv: PrivKey) -> EvalMultKey:
     ring = priv.params.ring_key
-    hook = getattr(priv.params, "lift_old_key", None)
     s2 = R.mul(ring, priv.secret, priv.secret)
-    old = hook(s2) if hook is not None else s2
-    return EvalMultKey(make_eval_key(rng, old, priv))
+    return EvalMultKey(make_eval_key(rng, s2, priv))
 
 
 def galois_element_for_steps(n: int, steps: int) -> int:
@@ -590,9 +595,7 @@ def keygen_galois(rng, priv: PrivKey, steps: Optional[int] = None,
     if galois_element is None:
         galois_element = galois_element_for_steps(ring.n, steps)
     sg = R.apply_galois(ring, priv.secret, galois_element)
-    hook = getattr(priv.params, "lift_old_key", None)
-    old = hook(sg) if hook is not None else sg
-    return GaloisKey(galois_element, make_eval_key(rng, old, priv))
+    return GaloisKey(galois_element, make_eval_key(rng, sg, priv))
 
 
 def _mod_sum(terms: jnp.ndarray, mp: MontParams) -> jnp.ndarray:

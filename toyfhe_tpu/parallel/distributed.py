@@ -150,8 +150,116 @@ def coeff_ntt_comm_model(n: int, L_local: int, n_cp: int,
         "ntt_stage_exchange", "all-to-all", transforms, payload)}
 
 
+def step2axis_comm_model(n: int, L: int, n_rp: int, n_cp: int,
+                         batch_per_dev: int = 1, ndig: Optional[int] = None,
+                         ncomp: int = 2, dtype_bytes: int = 4
+                         ) -> Dict[str, CollectiveSite]:
+    """Predicted collectives for the dp×rp×cp sharded
+    square→relin→rescale step (parallel/ops.py::make_2axis_step),
+    per device per step.
+
+    The coefficient axis adds ONE all_to_all over 'cp' per four-step
+    transform call (parallel/sharding.py::mxu2_ntt_local/intt_local):
+    intt(d3), ntt(digits), intt(out), ntt(result) — with the digit
+    tensor carrying an extra ``ndig`` axis. The two 'rp' all-gather
+    sites are the 1-axis step's (rlwe_she.jl:340-344, crt.jl:215-220)
+    at 1/n_cp the row length. 'dp' communicates nothing per step.
+
+    ``bytes_per_shard`` is the device's full local block entering the
+    collective; wire traffic per device is (size−1)/size of it for
+    all_to_all and all-gather alike.
+    """
+    ndig = L if ndig is None else ndig
+    l_loc = -(-L // n_rp)
+    n_loc = n // n_cp
+    blk = batch_per_dev * l_loc * n_loc * dtype_bytes
+    return {
+        "ntt_d3_exchange": CollectiveSite(
+            "ntt_d3_exchange", "all-to-all", 1, blk),
+        "ntt_digit_exchange": CollectiveSite(
+            "ntt_digit_exchange", "all-to-all", 1, ndig * blk),
+        "ntt_out_exchange": CollectiveSite(
+            "ntt_out_exchange", "all-to-all", 1, ncomp * blk),
+        "ntt_result_exchange": CollectiveSite(
+            "ntt_result_exchange", "all-to-all", 1, ncomp * blk),
+        "keyswitch_digit_share": CollectiveSite(
+            "keyswitch_digit_share", "all-gather", 1, blk),
+        "rescale_broadcast": CollectiveSite(
+            "rescale_broadcast", "all-gather", 1,
+            batch_per_dev * ncomp * n_loc * dtype_bytes),
+    }
+
+
+def predicted_scaling_curve(hosts: Sequence[int], chips_per_host: int,
+                            n: int, L: int, batch_per_chip: int,
+                            t_step_chip_s: float,
+                            n_rp: Optional[int] = None,
+                            n_cp: int = 1,
+                            ici_bw: float = 4 * 45e9,
+                            dcn_bw: float = 25e9,
+                            dp_across_hosts: bool = True) -> list:
+    """Predicted weak-scaling efficiency of the sharded step, 1 chip →
+    N hosts, from the validated comm-volume model.
+
+    Topology rule (docs/parallelism.md): 'rp'/'cp' INSIDE a host (their
+    collectives ride ICI, default 4 links × 45 GB/s/chip), 'dp' ACROSS
+    hosts — batch parallelism exchanges nothing per step, so DCN
+    carries zero step traffic and host count drops out of the model.
+    ``dp_across_hosts=False`` models the anti-pattern (the 'rp'
+    all-gathers ride DCN, default one 200 Gb/s NIC per host) to show
+    why the rule matters.
+
+    Efficiency baseline is the serial chip: eff = t_compute /
+    (t_compute + t_comm); t_compute = per-chip step time at
+    ``batch_per_chip`` (weak scaling — per-device work constant).
+    Returns [(n_hosts, efficiency), ...].
+    """
+    n_rp = chips_per_host // n_cp if n_rp is None else n_rp
+    if n_cp > 1:
+        model = step2axis_comm_model(n, L, n_rp, n_cp, batch_per_chip)
+    else:
+        model = sharded_step_comm_model(n, L, n_rp, batch_per_chip)
+    out = []
+    for nh in hosts:
+        t_comm = 0.0
+        for s in model.values():
+            size = n_rp if "gather" in s.kind else n_cp
+            wire = s.total_bytes * (size - 1) / max(size, 1)
+            if dp_across_hosts or nh == 1:
+                t_comm += wire / ici_bw
+            else:
+                # anti-pattern: the collective group spans hosts; the
+                # per-host NIC carries the whole group's traffic
+                t_comm += wire * chips_per_host / dcn_bw
+        out.append((nh, t_step_chip_s / (t_step_chip_s + t_comm)))
+    return out
+
+
 _HLO_COLLECTIVE_RE = re.compile(
     r"(all-gather|all-to-all|all-reduce|collective-permute)")
+
+
+_SHAPE_RE = re.compile(r"[a-z]+(8|16|32|64)\[([\d,]*)\]")
+
+
+def hlo_alltoall_payloads(compiled_text: str) -> list:
+    """Per-device block bytes of every all-to-all in compiled HLO,
+    sorted. XLA decomposes a tiled all_to_all over a size-k group into a
+    k-operand tuple op — the device's full exchanged block is the SUM of
+    the tuple element sizes."""
+    out = []
+    for line in compiled_text.splitlines():
+        if "-start" in line or " all-to-all(" not in line:
+            continue
+        lhs = line.split(" all-to-all(")[0]
+        total = 0
+        for m in _SHAPE_RE.finditer(lhs):
+            bits = int(m.group(1))
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            total += math.prod(dims) * (bits // 8)
+        if total:
+            out.append(total)
+    return sorted(out)
 
 
 _AG_LINE_RE = re.compile(
@@ -182,10 +290,11 @@ def count_hlo_collectives(compiled_text: str) -> Dict[str, int]:
         line = line.strip()
         if line.startswith("ROOT"):
             line = line[4:].lstrip()
-        # opcode appears as "<name> = <type> opcode(" — match the opcode
-        # position only, not tuple-element names
-        m = re.search(r"=\s*[^=]*?\b(all-gather|all-to-all|all-reduce|"
-                      r"collective-permute)\b", line)
+        # opcode appears as "<name> = <type> opcode(" — require the
+        # following '(' so operand names like get-tuple-element's
+        # "(%all-to-all)" don't count
+        m = re.search(r"=\s*[^=]*?\s(all-gather|all-to-all|all-reduce|"
+                      r"collective-permute)\(", line)
         if m and "-start" not in line.split("=")[1][:60]:
             counts[m.group(1)] = counts.get(m.group(1), 0) + 1
     return counts
