@@ -125,6 +125,7 @@ def test_scale_alignment_primitives(setup):
     np.testing.assert_allclose(F.decrypt(kp, c4), 0.25 * vals, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_eval_chebyshev(deep):
     """Paterson–Stockmeyer in the Chebyshev basis: O(√d) muls, O(log d)
     depth, exact per-term scale matching."""
@@ -454,6 +455,7 @@ def test_batched_bootstrap(deep_mr):
     np.testing.assert_allclose(got0, F.decrypt(kp, single0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_eval_poly(setup):
     """Homomorphic Horner: degree-5 odd sine approximation on [-1, 1]."""
     ring, params, kp, ek, gks, gk_conj, c, vals, scale = setup

@@ -22,6 +22,7 @@ def _setup(n=256, L=4, dnum=2, k=2, seed=0):
     return ring, params, kp, ek
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused():
     from toyfhe_tpu.ops.pallas_hybrid_ks import FusedHybridKS
 
@@ -49,6 +50,7 @@ def test_fused_matches_unfused():
     np.testing.assert_array_equal(np.asarray(acc2), want2)
 
 
+@pytest.mark.slow
 def test_fused_batched_and_short_tower():
     from toyfhe_tpu.ops.pallas_hybrid_ks import FusedHybridKS
 
@@ -77,6 +79,7 @@ def test_fused_batched_and_short_tower():
     np.testing.assert_array_equal(np.asarray(acc2), want2)
 
 
+@pytest.mark.slow
 def test_fused_full_step_matches():
     """make_hybrid_sharded_step(fused=True): the whole square→relin→
     rescale step is bit-exact vs the unfused schedule."""

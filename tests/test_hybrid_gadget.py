@@ -32,7 +32,11 @@ def _setup(dnum, num_special, nq=8, seed=2):
     return params, kp, ek, gk, c, vals
 
 
-@pytest.mark.parametrize("dnum,k", [(4, 2), (2, 4), (8, 1)])
+@pytest.mark.parametrize("dnum,k", [
+    pytest.param(4, 2, marks=pytest.mark.slow),
+    (2, 4),
+    pytest.param(8, 1, marks=pytest.mark.slow),
+])
 def test_square_relin(dnum, k):
     """x² with hybrid relinearization at several (dnum, num_special)
     shapes — including the per-limb degenerate case dnum=L, k=1."""
@@ -72,6 +76,7 @@ def test_digit_count():
     assert exp_ring.nlimbs == c.ring.nlimbs + 2    # Q_t ∪ P
 
 
+@pytest.mark.slow
 def test_chained_muls():
     """Three chained squarings with rescales — noise stays controlled
     through repeated hybrid key-switches. Scale-sized (26-bit) level

@@ -42,7 +42,11 @@ def setup():
     return ring, duals, masks, maskeds
 
 
-@pytest.mark.parametrize("n_rp,n_cp", [(2, 4), (4, 2), (2, 2)])
+@pytest.mark.parametrize("n_rp,n_cp", [
+    pytest.param(2, 4, marks=pytest.mark.slow),
+    pytest.param(4, 2, marks=pytest.mark.slow),
+    (2, 2),
+])
 def test_2axis_step_matches_single_chip(setup, n_rp, n_cp):
     ring, duals, masks, maskeds = setup
     single = pops.make_single_chip_step(ring.tables, masks, maskeds)

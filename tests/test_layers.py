@@ -171,6 +171,7 @@ def test_hybrid_layer_at_dropped_tower(hybrid_setup):
     np.testing.assert_array_equal(np.asarray(o2), ref2)
 
 
+@pytest.mark.slow
 def test_fast_mnist_pipeline():
     """Compiled-layer MNIST pipeline end-to-end (small config)."""
     import jax
@@ -202,6 +203,7 @@ def test_fast_mnist_pipeline():
     assert np.array_equal(np.argmax(enc_bsgs.T, -1), np.argmax(plain, -1))
 
 
+@pytest.mark.slow
 def test_hybrid_window_layer_bitexact():
     """Windowed (hybrid) gadget in the compiled layers matches the eager
     engine bit-exactly, including after a modswitch drop (digit count
@@ -236,6 +238,7 @@ def test_hybrid_window_layer_bitexact():
         np.testing.assert_array_equal(np.asarray(o2), ref2)
 
 
+@pytest.mark.slow
 def test_fused_pallas_keyswitch():
     """Fused Pallas keyswitch kernel (digits+NTTs+contract+INTT in VMEM)
     bit-exact vs the compiled-layer path (interpret mode)."""
@@ -278,6 +281,7 @@ def test_fused_pallas_keyswitch():
     np.testing.assert_array_equal(rescale(o2), np.asarray(r2))
 
 
+@pytest.mark.slow
 def test_fast_mnist_pipeline_hybrid():
     """Compiled-layer MNIST pipeline on the dnum-grouped hybrid gadget
     (small config): same label agreement as the plaintext model."""

@@ -132,6 +132,7 @@ def test_batched_ciphertexts():
     lambda p: F.ModulusRaised(p),
     lambda p: F.HybridRaised(p, 2, 2),
 ], ids=["modraised", "hybrid"])
+@pytest.mark.slow
 def test_bgv_with_raising_modifier(wrap):
     """BGV composes with special-prime key switching: the contraction
     uses p-adapted rounding (ring.rescale_adapted) so the error stays
@@ -170,6 +171,7 @@ def test_bgv_leveled_modswitch():
     lambda p: F.ModulusRaised(p),
     lambda p: F.HybridRaised(p, 2, 2),
 ], ids=["modraised", "hybrid"])
+@pytest.mark.slow
 def test_bfv_with_raising_modifier(wrap):
     """BFV composes with the raising modifiers: Δ and the BEHZ multiply
     context are built per ciphertext tower (the ct lives short of the

@@ -79,6 +79,7 @@ def test_estimator_windowed():
     assert est.precision_bits > 8
 
 
+@pytest.mark.slow
 def test_estimator_modraised():
     """Special-prime (ModulusRaised) gadget — the production keyswitch."""
     ring = F.make_rns_ring(N, (30, 26, 26, 26, 30))
@@ -87,6 +88,7 @@ def test_estimator_modraised():
     assert est.precision_bits > 8
 
 
+@pytest.mark.slow
 def test_estimator_hybrid():
     """dnum-grouped hybrid gadget."""
     ring = F.make_rns_ring(N, (30, 26, 26, 26, 26, 26, 30, 30))

@@ -23,6 +23,7 @@ def rings():
     return t, pt, a, b
 
 
+@pytest.mark.slow
 def test_fused_polymul(rings):
     t, pt, a, b = rings
     at = jnp.asarray(a.transpose(1, 0, 2))

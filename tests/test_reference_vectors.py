@@ -63,6 +63,7 @@ def _plain_vec(n, p):
 # device path vs goldens (default tier)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_device_bfv_triv(golden):
     g = golden["bfv_triv"]
     n = g["params"]["n"]
@@ -111,6 +112,7 @@ def test_device_bfv_keyswitch(golden):
     _expect(g["checks"]["vec_sq_switched"], _coeffs(F.decrypt(kp, cvs)))
 
 
+@pytest.mark.slow
 def test_device_bfv_crt(golden):
     g = golden["bfv_crt"]
     n = g["params"]["n"]
