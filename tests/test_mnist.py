@@ -165,3 +165,28 @@ def test_bootstrapped_inference_end_to_end():
     assert decided.sum() >= cfg.batch // 2    # the model decides most
     assert np.array_equal(np.argmax(logits.T, -1)[decided],
                           np.argmax(plain, -1)[decided])
+
+
+@pytest.mark.slow
+def test_bootstrapped_inference_composite_scale():
+    """The COMPOSITE-scale bootstrapped pipeline (the production config
+    for N ≥ 2^11, docs/performance.md): hybrid dnum gadget, 2×29-bit
+    base, 26-bit level limbs, factored transforms + double-angle
+    EvalMod. ~1000× tighter than the single-prime path: every logit
+    within 1e-3 of the plaintext model and ALL labels agree."""
+    cfg = M.MNISTConfig(image=8, kernel=4, stride=4, channels=2, classes=4,
+                        ring_logn=6)
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, _ = M.train(cfg, kt, steps=200)
+    setup, ctx = M.fhe_setup_bootstrapped(
+        cfg, kf, depth=46, K=5.0, deg=24, scale_limbs=2, radix=16,
+        arcsin=True, double_angle=2, hamming_weight=4)
+    imgs, _ = M.load_real_digits(cfg)
+    imgs = np.asarray(imgs)[:cfg.batch]
+    plain = np.asarray(M.model_forward(cfg, params, imgs))
+    logits, depth_out = M.encrypted_inference_bootstrapped(
+        setup, ctx, params, imgs, ke, prescale=32.0)
+    assert depth_out >= 15
+    err = np.abs(logits.T - plain).max()
+    assert err < 1e-3, err
+    assert np.array_equal(np.argmax(logits.T, -1), np.argmax(plain, -1))

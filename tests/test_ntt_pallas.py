@@ -107,3 +107,31 @@ def test_mxu_nat_roundtrip(rings):
     np.testing.assert_array_equal(
         np.asarray(mxp.intt_mxu_nat(mt, x4, True)),
         np.asarray(nttmod.intt(t, x4)))
+
+
+def test_mxu_row_view_bitexact():
+    """Derived-tower MXU row views (shared root constants, rows gathered
+    in-jit — the production-N program-size fix) are bit-identical to
+    tables built directly for the sub-tower."""
+    import toyfhe_tpu as F
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    from toyfhe_tpu.ops import ntt_mxu_pallas as mxp
+
+    ring = F.make_rns_ring(256, (28, 29, 28, 29, 28))
+    child = ring.select([0, 1, 3])             # non-contiguous sub-tower
+    assert child.tables.root_tables is ring.tables
+    root_mt = mxu.MxuNttTables(ring.tables)
+    view = mxu.MxuRowView(root_mt, child.tables.root_rows)
+    own = mxu.MxuNttTables(child.tables)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, min(child.primes),
+                                 (2, 3, 256)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(mxp.ntt_mxu_nat(view, x, True)),
+        np.asarray(mxp.ntt_mxu_nat(own, x, True)))
+    np.testing.assert_array_equal(
+        np.asarray(mxp.intt_mxu_nat(view, x, True)),
+        np.asarray(mxp.intt_mxu_nat(own, x, True)))
+    # legacy consumers read materialized slices
+    np.testing.assert_array_equal(np.asarray(view.tw), np.asarray(own.tw))
+    assert view.primes == own.primes

@@ -197,17 +197,20 @@ def main():
                            else o.cs[0].primal)
                 times.append(time.time() - t0)
             slope = (min(times) - min(floors)) / nb
+            raw = min(times) / nb
             print(f"bootstrap wall(lazy={lazy}): {slope*1e3:.1f} "
                   f"ms/refresh (batch={nb}, min run={min(times):.3f}s "
-                  f"dispatch floor={min(floors):.3f}s)", flush=True)
-            return slope, out
+                  f"dispatch floor={min(floors):.3f}s); "
+                  f"batch-amortized NO-subtraction: {raw*1e3:.1f} ms",
+                  flush=True)
+            return slope, raw, out
         finally:
             os.environ.pop("TOYFHE_LAZY_GIANT", None)
 
-    slope, out = measure(True)
+    slope, raw, out = measure(True)
     eager_slope = None
     if ab:
-        eager_slope, _ = measure(False)
+        eager_slope, _, _ = measure(False)
         print(f"lazy-giant speedup: {eager_slope/slope:.2f}x "
               f"(same session)", flush=True)
 
@@ -227,6 +230,7 @@ def main():
                   + (f"_b{batch}" if batch > 1 else "")
                   + (f"_sl{sl}" if sl > 1 else ""),
         "value": round(slope * 1e3, 1), "unit": "ms/refresh",
+        "raw_ms_per_refresh": round(raw * 1e3, 1),   # no floor subtraction
         "out_levels": out.ring.nlimbs, "max_err": err,
         "backend": jax.default_backend()}
     if eager_slope is not None:

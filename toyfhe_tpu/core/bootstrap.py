@@ -744,6 +744,16 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
     bootstrap-sized special primes). The two C2S output halves are
     stacked into one batch-2 ciphertext so EvalMod's keyswitches are
     shared — the batched-engine payoff."""
+    out = bootstrap_phase1(ctx, c)
+    out = bootstrap_phase2(ctx, *out)
+    return bootstrap_phase3(ctx, out, *_phase3_statics(ctx, c))
+
+
+def bootstrap_phase1(ctx: BootstrapContext, c: CipherText):
+    """ModRaise → retag → CoeffToSlot. Split out so production-N replays
+    can compile each phase as its own XLA program — one whole-refresh
+    program at N=2^13 carries every tower level's transform-table
+    constants and exceeds remote-compile upload limits (HTTP 413)."""
     sl = ctx.scale_limbs
     q0 = c.ring.modulus                # composite when sl > 1 (sl limbs)
     scale = Fraction(c.enc.scale)
@@ -755,20 +765,43 @@ def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:
     else:
         lo, hi = coeff_to_slot(ctx.gks, ctx.gk_conj, cr)
         lo, hi = _rescale_k(lo, sl), _rescale_k(hi, sl)
+    return lo, hi
+
+
+def bootstrap_phase2(ctx: BootstrapContext, lo: CipherText,
+                     hi: CipherText) -> CipherText:
+    """EvalMod: batched sine PS eval + double-angle/arcsine correction."""
+    sl = ctx.scale_limbs
     both = rlwe.ct_stack([lo, hi])
     ev = eval_chebyshev(ctx.ek, both, ctx.cheb, ctx.K, scale_limbs=sl)
-    from ..utils import numtheory as nt
-    factor = nt.frac_to_float(Fraction(q0) / scale)
     if ctx.double_angle:
         for _ in range(ctx.double_angle):      # cos(θ) → cos(2^r·θ)
             ev = CE.add_plain(CE.mul_int(_mul_ct(ctx.ek, ev, ev, sl), 2),
                               -1.0)
         if ctx.arcsin:                         # ev = sin(2πu); ε via arcsin
             ev = _arcsin_correct_from_sin(ctx.ek, ev, sl)
-        else:                                  # fold 1/(2π) into S2C
-            factor /= 2.0 * math.pi
     elif ctx.arcsin:
         ev = _arcsin_correct(ctx.ek, ev, sl)
+    return ev
+
+
+def _phase3_statics(ctx: BootstrapContext, c: CipherText):
+    """(factor, pin) for phase 3 — host Python values derived from the
+    input ciphertext's STATIC metadata (ring modulus, scale tag)."""
+    from ..utils import numtheory as nt
+    q0 = c.ring.modulus
+    scale = Fraction(c.enc.scale)
+    factor = nt.frac_to_float(Fraction(q0) / scale)
+    if ctx.double_angle and not ctx.arcsin:    # fold 1/(2π) into S2C
+        factor /= 2.0 * math.pi
+    pin = scale if ctx.scale_limbs > 1 else None
+    return factor, pin
+
+
+def bootstrap_phase3(ctx: BootstrapContext, ev: CipherText, factor: float,
+                     pin) -> CipherText:
+    """SlotToCoeff (×q₀/Δ)."""
+    sl = ctx.scale_limbs
     lo2, hi2 = rlwe.ct_index(ev, 0), rlwe.ct_index(ev, 1)
     if ctx.plan is not None:
         # factored S2C rescales internally after every level
@@ -820,6 +853,67 @@ def jit_bootstrap_replay():
             return bootstrap(ctx_, c_)
 
     return jax.jit(run)
+
+
+def trace_plain_cache_phased(ctx: BootstrapContext, c: CipherText):
+    """Per-phase diagonal recording for the PHASED replay: three abstract
+    traces (ModRaise+C2S | EvalMod | S2C), each with its own PlainCache.
+    Returns (items1, items2, items3, out_avals) — ``out_avals`` are the
+    phase-boundary ShapeDtypeStruct pytrees, reusable for lowering."""
+    import jax
+
+    def _record(fn, *args):
+        cache = CE.PlainCache()
+        with CE.plaintext_cache(cache, "record"):
+            low = jax.jit(fn).lower(*args)
+        try:
+            out = low.out_info
+        except AttributeError:
+            out = jax.eval_shape(fn, *args)
+        return [np.asarray(x) for x in cache.items], out
+
+    items1, out1 = _record(lambda a, b: bootstrap_phase1(a, b), ctx, c)
+    items2, out2 = _record(lambda a, l, h: bootstrap_phase2(a, l, h),
+                           ctx, *out1)
+    factor, pin = _phase3_statics(ctx, c)
+    items3, _ = _record(lambda a, e: bootstrap_phase3(a, e, factor, pin),
+                        ctx, out2)
+    return items1, items2, items3, (out1, out2)
+
+
+def jit_bootstrap_replay_phased(ctx: BootstrapContext, c: CipherText):
+    """Three jitted replay programs (each carrying only its phase's
+    tower-level table constants — the whole-refresh program at N=2^13
+    exceeds the remote-compile upload limit): returns
+    ``run(ctx_dev, c_dev, (items1, items2, items3))`` where the item
+    lists come from :func:`trace_plain_cache_phased` (device-put them
+    first). ``ctx``/``c`` here are only used for the static (factor,
+    pin) derivation."""
+    import jax
+
+    factor, pin = _phase3_statics(ctx, c)
+
+    def _replay(items_, fn, *args):
+        rc = CE.PlainCache()
+        rc.items = list(items_)
+        with CE.plaintext_cache(rc, "replay"):
+            return fn(*args)
+
+    f1 = jax.jit(lambda ctx_, c_, it: _replay(it, bootstrap_phase1,
+                                              ctx_, c_))
+    f2 = jax.jit(lambda ctx_, lo, hi, it: _replay(it, bootstrap_phase2,
+                                                  ctx_, lo, hi))
+    f3 = jax.jit(lambda ctx_, ev, it: _replay(
+        it, lambda a, e: bootstrap_phase3(a, e, factor, pin), ctx_, ev))
+
+    def run(ctx_dev, c_dev, items):
+        it1, it2, it3 = items
+        lo, hi = f1(ctx_dev, c_dev, it1)
+        ev = f2(ctx_dev, lo, hi, it2)
+        return f3(ctx_dev, ev, it3)
+
+    run.phases = (f1, f2, f3)
+    return run
 
 
 def bootstrap_batched(ctx: BootstrapContext, cb: CipherText) -> CipherText:

@@ -14,6 +14,7 @@ scale arithmetic uses ``fractions.Fraction`` (the FixedRational role).
 from __future__ import annotations
 
 import dataclasses
+import math
 from fractions import Fraction
 from typing import Optional, Union
 
@@ -230,18 +231,27 @@ def ct_drop_to(c: CipherText, nlimbs: int) -> CipherText:
 def ct_to(c: CipherText, nlimbs: int, scale: ScaleLike) -> CipherText:
     """Bring a CKKS ciphertext to an EXACT (tower length, scale) target
     using spare levels: limb drops plus, when the scale differs, one
-    scalar multiply at the correcting scale r = scale·p/current followed
-    by a rescale by p. Requires one spare level in that case."""
+    scalar multiply at the correcting scale r = scale·(∏ dropped p)/cur
+    followed by rescales. Uses as many spare levels as needed to make
+    the ratio comfortably quantizable (r ≥ 2^8 when levels allow, ≥ 2
+    at minimum) — the actual prime values drift with N, so a ratio that
+    clears the bar at one ring dimension can dip below it at another."""
     scale = Fraction(scale)
     cur = _ct_scale(c)
     if cur == scale:
         return ct_drop_to(c, nlimbs)
-    c = ct_drop_to(c, nlimbs + 1)
-    p = c.ring.primes[-1]
-    r = scale * p / cur
-    if r < 2:
-        raise ValueError(f"alignment ratio {float(r):g} too small to quantize")
-    return rlwe.ct_rescale(mul_plain_scalar_at(c, 1.0, r))
+    avail = c.ring.nlimbs - nlimbs
+    r = Fraction(0)
+    for j in range(1, max(avail, 1) + 1):
+        cj = ct_drop_to(c, nlimbs + j)
+        r = scale * math.prod(cj.ring.primes[-j:]) / cur
+        if r >= (1 << 8) or (j == avail and r >= 2):
+            c = mul_plain_scalar_at(cj, 1.0, r)
+            for _ in range(j):
+                c = rlwe.ct_rescale(c)
+            return c
+    raise ValueError(f"alignment ratio {float(r):g} too small to quantize "
+                     f"({avail} spare levels)")
 
 
 # ---------------------------------------------------------------------------

@@ -237,9 +237,11 @@ class HybridRaised(PassthroughParams):
         ct_ring = exp_ring.select(range(lt))
         sp_ring = exp_ring.select(range(lt, lt + k))
         spp = sp_ring.primes                          # [p_0 .. p_{k-1}]
-        mcol = lambda vals, ps: jnp.asarray(np.array(
+        # cache HOST numpy columns: a jnp array created inside one jit
+        # trace is a tracer constant — caching it leaks into later traces
+        mcol = lambda vals, ps: np.array(
             [[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
-            dtype=np.uint64).astype(np.uint32))
+            dtype=np.uint64).astype(np.uint32)
         pinv = mcol([pow(self.P % p, -1, p) for p in ct_ring.primes],
                     ct_ring.primes)
         # step-s weight: (∏_{t=0..k-s} p_t)^{-1} mod q_i  (s = 1..k)

@@ -91,6 +91,13 @@ class RingContext:
                 [root.psis[i] for i in key])
             child._root = root
             child._root_indices = key
+            # root linkage on the NTT tables: lets the MXU path embed ONE
+            # full-tower table constant shared by every derived tower and
+            # slice rows in-jit (ops/ntt.py::_mxu_tables row views) — at
+            # production N the per-level table constants otherwise sum to
+            # hundreds of MB per compiled program
+            child.tables.root_tables = root.tables
+            child.tables.root_rows = key
             root._children[key] = child
         return root._children[key]
 

@@ -580,16 +580,39 @@ def encrypted_inference(setup: FHESetup, model_params, batch: np.ndarray,
 
 def fhe_setup_bootstrapped(cfg: MNISTConfig, rng, depth: int = 12,
                            limb_bits: int = 28, scale_log2: int = 28,
+                           hamming_weight: int = 4,
                            **boot_kwargs) -> Tuple[FHESetup, object]:
     """FHE setup for DEPTH-UNLIMITED inference: bootstrap-grade params
     (deep ``depth``-limb tower of q₀-sized primes, sparse ternary secret
     bounding the ModRaise overflow, ModulusRaised keyswitching) plus a
-    BootstrapContext for the same key. Returns (setup, boot_ctx)."""
+    BootstrapContext for the same key. Returns (setup, boot_ctx).
+
+    ``boot_kwargs['scale_limbs']=2`` selects the COMPOSITE-scale config
+    (the numerically sound one at N ≥ 2^11, docs/performance.md): a
+    2×29-bit base q₀ ≈ 2^58 with 26-bit level limbs; the pipeline runs
+    at scale 2^26 per level and the refresh at 2^52 across limb pairs."""
     from ..core import bootstrap as B
 
-    ring = F.make_rns_ring(1 << cfg.ring_logn, (limb_bits,) * depth)
-    params = F.ModulusRaised(
-        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4))
+    sl = int(boot_kwargs.get("scale_limbs", 1))
+    if sl == 2:
+        # the validated composite recipe (test_composite_scale_bootstrap,
+        # tools/bench_bootstrap.py sl=2): 2×29-bit base, 26-bit level
+        # limbs, hybrid dnum gadget with alpha+1 29-bit raising primes,
+        # factored transforms + double-angle EvalMod set by the caller
+        tower = (29, 29) + (26,) * depth
+        scale_log2 = 26
+        dnum = max(1, (depth + 2) // 5)
+        k = -(-(depth + 2) // dnum) + 1
+        ring = F.make_rns_ring(1 << cfg.ring_logn, tower + (29,) * k)
+        params = F.HybridRaised(
+            F.CKKSParams(ring, 0, 3.2, secret="sparse",
+                         hamming_weight=hamming_weight), dnum, k)
+    else:
+        tower = (limb_bits,) * depth
+        ring = F.make_rns_ring(1 << cfg.ring_logn, tower)
+        params = F.ModulusRaised(
+            F.CKKSParams(ring, 0, 3.2, secret="sparse",
+                         hamming_weight=hamming_weight))
     ks = jax.random.split(rng, 4)
     kp = F.keygen(params, ks[0])
     ek = F.keygen_eval_mult(ks[1], kp.priv)
@@ -601,7 +624,8 @@ def fhe_setup_bootstrapped(cfg: MNISTConfig, rng, depth: int = 12,
 
 def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
                                      model_params, batch: np.ndarray, rng,
-                                     prescale: float = 4.0):
+                                     prescale: float = 4.0,
+                                     refresh_fn=None):
     """Depth-unlimited encrypted forward pass:
 
         conv → square → dense1 → square → **bootstrap** → dense2
@@ -659,9 +683,21 @@ def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
     # normalize into EvalMod's range, exhaust to the base tower, then
     # refresh WITHOUT the secret key
     exhausted = F.ct_rescale(F.mul_plain_scalar(sqed2, 1.0 / prescale))
-    while exhausted.ring.nlimbs > boot_ctx.scale_limbs:
-        exhausted = F.ct_modswitch_drop(exhausted)
-    refreshed = B.bootstrap(boot_ctx, exhausted)
+    if boot_ctx.scale_limbs > 1:
+        # composite config: align to the refresh's exact (base limbs,
+        # composite scale) target before exhausting (ckks_encoding.ct_to)
+        from ..core import ckks_encoding as CE
+        sl = boot_ctx.scale_limbs
+        comp_scale = Fraction(2) ** (26 * sl)     # the bench's 2^52 config
+        exhausted = CE.ct_to(exhausted, sl, comp_scale)
+    else:
+        while exhausted.ring.nlimbs > boot_ctx.scale_limbs:
+            exhausted = F.ct_modswitch_drop(exhausted)
+    # ``refresh_fn`` lets callers substitute a compiled refresh (the
+    # trace_plain_cache + jit replay path, tools/bench_boot_mnist.py —
+    # an eager N=2^13 refresh over a device tunnel is pathological)
+    refreshed = (refresh_fn(exhausted) if refresh_fn is not None
+                 else B.bootstrap(boot_ctx, exhausted))
     depth_out = refreshed.ring.nlimbs
 
     # dense2 at the REGAINED depth (prescale folded into the weights)

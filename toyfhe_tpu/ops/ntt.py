@@ -207,9 +207,23 @@ def _mxu_tables(tables: NttTables):
                 from . import ntt_mxu as _mxu
                 from . import ntt_mxu_pallas as _mxp
                 if _mxp.pl is not None:
-                    cand = _mxu.MxuNttTables(tables)
-                    if cand.paired_ok:
-                        mt = cand
+                    # derived towers become ROW VIEWS of the root
+                    # tower's tables: every level of a compiled program
+                    # then embeds ONE shared full-tower constant and
+                    # slices rows in-jit (at production N the per-level
+                    # constants otherwise sum to hundreds of MB)
+                    root = getattr(tables, "root_tables", None)
+                    root_mt = _mxu_tables(root) if root is not None else None
+                    if isinstance(root_mt, (_mxu.MxuNttTables,
+                                            _mxu.MxuRowView)):
+                        base = (root_mt.root
+                                if isinstance(root_mt, _mxu.MxuRowView)
+                                else root_mt)
+                        mt = _mxu.MxuRowView(base, tables.root_rows)
+                    else:
+                        cand = _mxu.MxuNttTables(tables)
+                        if cand.paired_ok:
+                            mt = cand
             except Exception:      # pragma: no cover - missing pallas
                 mt = None
         tables._mxu_cache = mt

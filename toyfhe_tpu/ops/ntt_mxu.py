@@ -131,6 +131,15 @@ class MxuNttTables:
             self._paired_bound(w) < (1 << 31)
             for w in (self.w1, self.w1i, self.w2, self.w2i))
 
+    def cached(self, name: str, build):
+        """Per-table memo for derived numpy arrays: a FRESH numpy object
+        per call becomes a fresh jaxpr constant per trace site — caching
+        keeps one object, so XLA sees one (deduped) constant."""
+        key = "_memo_" + name
+        if not hasattr(self, key):
+            setattr(self, key, build())
+        return getattr(self, key)
+
     @staticmethod
     def _paired_bound(w: np.ndarray) -> int:
         """Max possible |G'ₜ| = |G₂ₜ + 256·G₂ₜ₊₁| over the folded
@@ -143,6 +152,54 @@ class MxuNttTables:
                       if 0 <= s - d < _NDIG)
             smax.append(int(tot.max()) * 128)
         return max(smax[2 * t] + 256 * smax[2 * t + 1] for t in range(3))
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+class MxuRowView:
+    """Row-sliced view of a full-tower :class:`MxuNttTables`.
+
+    The big per-limb arrays (digit matrices, twiddles, ψ powers) stay on
+    the ROOT object — every derived tower level embeds the SAME root
+    constant in compiled programs and selects its rows in-jit — while
+    the small per-limb recombination constants are materialized eagerly.
+    Legacy consumers that read the big arrays directly (sharding table
+    pytrees) get lazily-materialized numpy slices via ``__getattr__``.
+    """
+
+    _BIG = ("w1", "w1i", "w2", "w2i", "tw", "twi", "psi_pow", "psi_ipow")
+
+    def __init__(self, root: MxuNttTables, rows):
+        self.root = root
+        self.rows = tuple(int(r) for r in rows)
+        idx = np.asarray(self.rows)
+        self.n, self.n2 = root.n, root.n2
+        self.primes = [root.primes[i] for i in self.rows]
+        self.mp = root.mp.select(idx)
+        self.cs = root.cs[:, idx]
+        self.corr = root.corr[idx]
+        self.r1_mont = root.r1_mont[idx]
+        self.hi_mont = root.hi_mont[idx]
+        self.cs32, self.cs48 = root.cs32[idx], root.cs48[idx]
+        self.corr2 = root.corr2[idx]
+        self.paired_ok = root.paired_ok    # subset bound ≤ root bound
+
+    def cached(self, name: str, build):
+        key = "_memo_" + name
+        if not hasattr(self, key):
+            setattr(self, key, build())
+        return getattr(self, key)
+
+    def __getattr__(self, name):
+        if name in MxuRowView._BIG:
+            arr = getattr(self.root, name)[np.asarray(self.rows)]
+            object.__setattr__(self, name, arr)
+            return arr
+        raise AttributeError(name)
 
     def __hash__(self):
         return id(self)

@@ -279,17 +279,20 @@ def _sc_table(mt: MxuNttTables) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def _mxu_nat(mt: MxuNttTables, x, inverse: bool, interpret: bool = False):
-    """Natural-order [..., L, N] four-step transform, paired combine."""
+    """Natural-order [..., L, N] four-step transform, paired combine.
+
+    Table operands come from :func:`_nat_big_tables`: row views embed the
+    shared ROOT constant and gather their rows in-jit; derived forms are
+    memoized on the table object so repeated transforms at one level
+    reuse one jaxpr constant (program-size discipline at production N).
+    """
     lead = x.shape[:-2]
     L, n = x.shape[-2], x.shape[-1]
     n2 = mt.n2
     R = int(np.prod(lead)) if lead else 1
+    wA, wB, tww, psi = _nat_big_tables(mt, inverse)
     if inverse:
         xb = x.reshape((R, L, n2, N1))
-        wA = jnp.asarray(mt.w2i)
-        wB = jnp.asarray(mt.w1i)
-        tww = jnp.asarray(np.swapaxes(np.asarray(mt.twi), -1, -2).copy())
-        psi = jnp.asarray(np.asarray(mt.psi_ipow).reshape(L, N1, n2))
         kernel = _inv_kernel_nat
         specA = pl.BlockSpec((None, _NDIG, n2, n2), lambda r, l: (l, 0, 0, 0))
         specB = pl.BlockSpec((None, _NDIG, N1, N1), lambda r, l: (l, 0, 0, 0))
@@ -299,10 +302,6 @@ def _mxu_nat(mt: MxuNttTables, x, inverse: bool, interpret: bool = False):
         out_shape = jax.ShapeDtypeStruct((R, L, N1, n2), jnp.uint32)
     else:
         xb = x.reshape((R, L, N1, n2))
-        wA = jnp.asarray(mt.w1)
-        wB = jnp.asarray(mt.w2)
-        tww = jnp.asarray(mt.tw)
-        psi = jnp.asarray(np.asarray(mt.psi_pow).reshape(L, N1, n2))
         kernel = _fwd_kernel_nat
         specA = pl.BlockSpec((None, _NDIG, N1, N1), lambda r, l: (l, 0, 0, 0))
         specB = pl.BlockSpec((None, _NDIG, n2, n2), lambda r, l: (l, 0, 0, 0))
@@ -320,8 +319,44 @@ def _mxu_nat(mt: MxuNttTables, x, inverse: bool, interpret: bool = False):
         out_specs=out_block,
         out_shape=out_shape,
         interpret=interpret,
-    )(xb, wA, wB, tww, psi, jnp.asarray(_sc_table(mt)))
+    )(xb, wA, wB, tww, psi,
+      jnp.asarray(mt.cached("sc", lambda: _sc_table(mt))))
     return out.reshape(lead + (L, n))
+
+
+def _nat_big_tables(mt, inverse: bool):
+    """(wA, wB, tw, psi) operands for :func:`_mxu_nat`.
+
+    MxuRowView: gather rows in-jit from the ROOT's arrays (memoized on
+    the root — ONE shared constant per compiled program across all tower
+    levels). Full tables: memoized derived numpy forms (reshape/swap
+    create fresh objects per call otherwise, each a fresh constant)."""
+    from .ntt_mxu import MxuRowView
+
+    if isinstance(mt, MxuRowView):
+        root = mt.root
+        Lr, n2 = len(root.primes), root.n2
+        rows = jnp.asarray(np.asarray(mt.rows))
+        take = lambda a: jnp.take(jnp.asarray(a), rows, axis=0)
+        if inverse:
+            return (take(root.w2i), take(root.w1i),
+                    take(root.cached("twi_T", lambda: np.swapaxes(
+                        root.twi, -1, -2).copy())),
+                    take(root.cached("ipsi_nat", lambda: np.asarray(
+                        root.psi_ipow).reshape(Lr, N1, n2))))
+        return (take(root.w1), take(root.w2), take(root.tw),
+                take(root.cached("psi_nat", lambda: np.asarray(
+                    root.psi_pow).reshape(Lr, N1, n2))))
+    L, n2 = len(mt.primes), mt.n2
+    if inverse:
+        return (jnp.asarray(mt.w2i), jnp.asarray(mt.w1i),
+                jnp.asarray(mt.cached("twi_T", lambda: np.swapaxes(
+                    np.asarray(mt.twi), -1, -2).copy())),
+                jnp.asarray(mt.cached("ipsi_nat", lambda: np.asarray(
+                    mt.psi_ipow).reshape(L, N1, n2))))
+    return (jnp.asarray(mt.w1), jnp.asarray(mt.w2), jnp.asarray(mt.tw),
+            jnp.asarray(mt.cached("psi_nat", lambda: np.asarray(
+                mt.psi_pow).reshape(L, N1, n2))))
 
 
 def ntt_mxu_nat(mt: MxuNttTables, x, interpret: bool = False):
