@@ -140,16 +140,22 @@ def main():
     # is one abstract CPU trace (host encodes run concretely; ciphertext
     # math stays abstract) — production-N feasible, unlike the eager
     # refresh record (1051 s at N=2^10 L=24).
+    phased = os.environ.get("TOYFHE_BOOT_PHASED", "0") == "1"
     t0 = time.time()
     os.environ["TOYFHE_NTT_IMPL"] = "radix2"
     with jax.default_device(cpu):
-        items = B.trace_plain_cache(ctx_h, c_h)
+        if phased:
+            i1, i2, i3, _ = B.trace_plain_cache_phased(ctx_h, c_h)
+            items = (i1, i2, i3)
+        else:
+            items = B.trace_plain_cache(ctx_h, c_h)
     os.environ.pop("TOYFHE_NTT_IMPL", None)
-    items = [np.asarray(x) for x in items]
-    mb = sum(x.nbytes for x in items) / 1e6
-    print(f"record (cpu trace): {time.time()-t0:.0f}s  "
-          f"({len(items)} diagonal tensors, {mb:.0f} MB as args)",
-          flush=True)
+    items = jax.tree_util.tree_map(np.asarray, items)
+    leaves = jax.tree_util.tree_leaves(items)
+    mb = sum(x.nbytes for x in leaves) / 1e6
+    print(f"record (cpu trace{' phased' if phased else ''}): "
+          f"{time.time()-t0:.0f}s  ({len(leaves)} diagonal tensors, "
+          f"{mb:.0f} MB as args)", flush=True)
     # pin the key material + transform diagonals on the device ONCE —
     # host numpy jit arguments re-cross the tunnel on EVERY call (tens
     # of MB/refresh measured as ~1s of fake "bootstrap wall")
@@ -170,15 +176,27 @@ def main():
     def measure(lazy=True):
         os.environ["TOYFHE_LAZY_GIANT"] = "1" if lazy else "0"
         try:
-            fn = (B.jit_bootstrap_batched_replay() if batch > 1
-                  else B.jit_bootstrap_replay())
-            t0 = time.time()
-            lowered = fn.lower(ctx_h, drive_h, items)
-            print(f"trace(lazy={lazy}): {time.time()-t0:.0f}s", flush=True)
-            t0 = time.time()
-            compiled = lowered.compile()
-            print(f"compile(lazy={lazy}): {time.time()-t0:.0f}s",
-                  flush=True)
+            if phased:
+                # three smaller programs: the whole-refresh module at
+                # N=2^13 passes the upload limit (row-view tables) but
+                # can OOM the remote compile helper
+                assert batch <= 1, "phased path is single-refresh"
+                prun = B.jit_bootstrap_replay_phased(ctx_h, drive_h)
+                t0 = time.time()
+                compiled = lambda a, b, it: prun(a, b, it)
+                print(f"phased compile path (lazy={lazy}): compiles on "
+                      f"first call", flush=True)
+            else:
+                fn = (B.jit_bootstrap_batched_replay() if batch > 1
+                      else B.jit_bootstrap_replay())
+                t0 = time.time()
+                lowered = fn.lower(ctx_h, drive_h, items)
+                print(f"trace(lazy={lazy}): {time.time()-t0:.0f}s",
+                      flush=True)
+                t0 = time.time()
+                compiled = lowered.compile()
+                print(f"compile(lazy={lazy}): {time.time()-t0:.0f}s",
+                      flush=True)
             t0 = time.time()
             out = compiled(ctx_h, drive_h, items)
             np.asarray(out.cs[0].dual if out.cs[0].dual is not None
