@@ -59,15 +59,22 @@ def _watchdog_smoke(timeout_s=240.0):
 
 
 def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
-                max_tries=3):
-    """Min-estimator chained-jit slope.
+                max_tries=3, trials=3):
+    """Min-estimator chained-jit slope, with a same-session spread.
 
     Tunnel noise is strictly additive (queueing, link stalls, tenant
     contention), so the minimum over interleaved reps estimates true
     execution time; the slope between the min times of a long and a
     short chain removes dispatch/transfer constants. A noisy run can
     still produce a non-positive slope; retry with a longer chain
-    instead of reporting a floor value that reads as absurd throughput."""
+    instead of reporting a floor value that reads as absurd throughput.
+
+    Returns ``(slope, (lo, hi))``: the headline slope uses the min over
+    ALL reps (the best estimator under additive noise); (lo, hi) are the
+    min/max of ``trials`` per-group slopes computed from interleaved rep
+    subsets — a zero-extra-cost measure of how much the tunnel moved
+    within this session (round-3 VERDICT item 5: the absolute number is
+    only evidence with its spread attached)."""
     for attempt in range(max_tries):
         f_small, f_big = build_chain(k_small), build_chain(k_big)
         np.asarray(f_small(*args))
@@ -80,11 +87,23 @@ def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
                 t0 = time.perf_counter()
                 np.asarray(f(*args))
                 acc.append(time.perf_counter() - t0)
-        slope = (min(tb) - min(ts)) / (k_big - k_small)
+        dk = k_big - k_small
+        slope = (min(tb) - min(ts)) / dk
         if slope > 0:
-            return slope
+            g = max(1, min(trials, reps))
+            sub = [(min(tb[i::g]) - min(ts[i::g])) / dk for i in range(g)]
+            return slope, (min(sub), max(sub))
         k_big = k_small + 2 * (k_big - k_small)
-    return float("nan")
+    return float("nan"), (float("nan"), float("nan"))
+
+
+def _per_s_spread(work, tspread):
+    """Convert a (lo, hi) slope-time spread into a throughput spread
+    (order flips: the slowest time is the lowest rate)."""
+    lo_t, hi_t = tspread
+    vals = sorted([work / hi_t, work / lo_t]) if hi_t and lo_t else \
+        [float("nan"), float("nan")]
+    return vals
 
 
 def _bench_ntt(batch=16, L=8, n=1 << 14):
@@ -106,8 +125,8 @@ def _bench_ntt(batch=16, L=8, n=1 << 14):
             return a
         return f
 
-    t = _slope_time(chain, (x,))
-    return batch * L / t, t
+    t, sp = _slope_time(chain, (x,))
+    return batch * L / t, t, _per_s_spread(batch * L, sp)
 
 
 def _bench_keyswitch(batch=4, L=7, n=1 << 13):
@@ -153,8 +172,8 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
             return c
         return f
 
-    t = _slope_time(chain, (cts,), k_small=1, k_big=7)
-    return batch / t, t
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    return batch / t, t, _per_s_spread(batch, sp)
 
 
 def _make_hybrid_fixture(batch=4, L=7, n=1 << 13, dnum=4, k=3):
@@ -207,8 +226,8 @@ def _bench_keyswitch_fused(batch=4, L=7, n=1 << 13, dnum=4, k=3):
             return c
         return f
 
-    t = _slope_time(chain, (cts,), k_small=1, k_big=7)
-    return batch / t, t
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    return batch / t, t, _per_s_spread(batch, sp)
 
 
 def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
@@ -236,8 +255,8 @@ def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
             return c
         return f
 
-    t = _slope_time(chain, (cts,), k_small=1, k_big=7)
-    return batch / t, t
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    return batch / t, t, _per_s_spread(batch, sp)
 
 
 def child_main():
@@ -249,16 +268,17 @@ def child_main():
     backend = _watchdog_smoke()
     if backend is None:
         os._exit(3)
-    ntt_per_s, ntt_t = _bench_ntt()
-    ks_per_s, ks_t = _bench_keyswitch()
+    ntt_per_s, ntt_t, ntt_sp = _bench_ntt()
+    ks_per_s, ks_t, ks_sp = _bench_keyswitch()
+    nansp = [float("nan")] * 2
     try:
-        hks_per_s, hks_t = _bench_keyswitch_hybrid()
+        hks_per_s, hks_t, hks_sp = _bench_keyswitch_hybrid()
     except Exception:
-        hks_per_s, hks_t = float("nan"), float("nan")
+        hks_per_s, hks_t, hks_sp = float("nan"), float("nan"), nansp
     try:
-        fks_per_s, fks_t = _bench_keyswitch_fused()
+        fks_per_s, fks_t, fks_sp = _bench_keyswitch_fused()
     except Exception:
-        fks_per_s, fks_t = float("nan"), float("nan")
+        fks_per_s, fks_t, fks_sp = float("nan"), float("nan"), nansp
 
     base_path = os.path.join(_HERE, "BENCH_BASELINE.json")
     record = {"ntt_per_s": ntt_per_s, "keyswitch_per_s": ks_per_s,
@@ -281,6 +301,14 @@ def child_main():
         "value": _num(ntt_per_s, 1),
         "unit": "limb-NTT/s",
         "vs_baseline": _num(vs, 3),
+        "spread": {
+            "ntt_per_s": [_num(v, 1) for v in ntt_sp],
+            "keyswitch_per_s": [_num(v, 2) for v in ks_sp],
+            "hybrid_keyswitch_per_s": [_num(v, 2) for v in hks_sp],
+            "fused_keyswitch_per_s": [_num(v, 2) for v in fks_sp],
+            "method": "min/max of 3 interleaved same-session rep-group "
+                      "slopes; session-to-session tunnel variance is "
+                      "larger (docs/performance.md)"},
         "keyswitch_per_s": _num(ks_per_s, 2),
         "hybrid_keyswitch_per_s": _num(hks_per_s, 2),
         "fused_keyswitch_per_s": _num(fks_per_s, 2),
@@ -339,7 +367,7 @@ def main(attempts=3, attempt_timeout_s=420.0):
                 p.kill()
             p.wait()
             notes.append(f"attempt {attempt + 1}: timed out after "
-                         f"{attempt_timeout_s:.0f}s, child killed")
+                         f"{t_limit:.0f}s, child killed")
             continue
         line = next((l for l in reversed(out.strip().splitlines())
                      if l.startswith("{")), None)

@@ -640,6 +640,8 @@ class BootstrapContext:
     arcsin: bool = False               # cubic arcsine correction
     double_angle: int = 0              # r: cos seed + r squarings
     scale_limbs: int = 1               # composite scale: limbs per level
+    base_scale: object = None          # exact Fraction the refresh input
+                                       # is aligned to (None → caller's)
 
     def __post_init__(self):
         if self.double_angle:
@@ -652,11 +654,11 @@ jax.tree_util.register_pytree_node(
     BootstrapContext,
     lambda ctx: ((ctx.ek, ctx.gks, ctx.gk_conj),
                  (ctx.K, ctx.deg, ctx.plan, ctx.arcsin, ctx.double_angle,
-                  ctx.scale_limbs)),
+                  ctx.scale_limbs, ctx.base_scale)),
     lambda aux, ch: BootstrapContext(ek=ch[0], gks=ch[1], gk_conj=ch[2],
                                      K=aux[0], deg=aux[1], plan=aux[2],
                                      arcsin=aux[3], double_angle=aux[4],
-                                     scale_limbs=aux[5]))
+                                     scale_limbs=aux[5], base_scale=aux[6]))
 
 
 def _arcsin_correct(ek, s: CipherText, sl: int = 1) -> CipherText:
@@ -687,8 +689,8 @@ def _arcsin_correct_from_sin(ek, v: CipherText, sl: int = 1) -> CipherText:
 
 def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
                     radix: int = 0, arcsin: bool = False,
-                    double_angle: int = 0, scale_limbs: int = 1
-                    ) -> BootstrapContext:
+                    double_angle: int = 0, scale_limbs: int = 1,
+                    base_scale=None) -> BootstrapContext:
     """Generate the rotation/conjugation/relinearization keys and the
     EvalMod polynomial for :func:`bootstrap`.
 
@@ -723,10 +725,12 @@ def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,
         bs, gs = bsgs_split(n // 2)
         gks, gk_conj = keygen_bootstrap_keys(k1, priv, bs, gs)
     ek = rlwe.keygen_eval_mult(k2, priv)
+    if base_scale is not None:
+        base_scale = Fraction(base_scale)
     return BootstrapContext(ek=ek, gks=gks, gk_conj=gk_conj, K=K, deg=deg,
                             plan=plan, arcsin=arcsin,
                             double_angle=double_angle,
-                            scale_limbs=scale_limbs)
+                            scale_limbs=scale_limbs, base_scale=base_scale)
 
 
 def bootstrap(ctx: BootstrapContext, c: CipherText) -> CipherText:

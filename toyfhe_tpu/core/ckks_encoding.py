@@ -241,6 +241,10 @@ def ct_to(c: CipherText, nlimbs: int, scale: ScaleLike) -> CipherText:
     if cur == scale:
         return ct_drop_to(c, nlimbs)
     avail = c.ring.nlimbs - nlimbs
+    if avail <= 0:
+        raise ValueError(
+            f"no spare level for scale alignment: at {c.ring.nlimbs} limbs, "
+            f"target {nlimbs} with scale {float(scale):g} != {float(cur):g}")
     r = Fraction(0)
     for j in range(1, max(avail, 1) + 1):
         cj = ct_drop_to(c, nlimbs + j)

@@ -688,7 +688,12 @@ def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
         # composite scale) target before exhausting (ckks_encoding.ct_to)
         from ..core import ckks_encoding as CE
         sl = boot_ctx.scale_limbs
-        comp_scale = Fraction(2) ** (26 * sl)     # the bench's 2^52 config
+        # the context records the exact base scale its EvalMod plan was
+        # tuned for; fall back to the 26-bit-per-limb recipe only when
+        # the context predates the field
+        comp_scale = (Fraction(boot_ctx.base_scale)
+                      if boot_ctx.base_scale is not None
+                      else Fraction(2) ** (26 * sl))
         exhausted = CE.ct_to(exhausted, sl, comp_scale)
     else:
         while exhausted.ring.nlimbs > boot_ctx.scale_limbs:

@@ -363,14 +363,24 @@ def _square_relin_rescale_hybrid(c, km_ct, km_sp, kd_ct, kd_sp, yinv,
 
 
 def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True,
-                             fused: bool = False):
+                             fused: bool = False,
+                             fused_schedule: bool = False):
     """Build the jitted rp-sharded square→relin→rescale step for a
     HybridRaised parameter set (core/hybrid.py) at the full ct tower.
 
     ``ek`` is the engine EvalMultKey. Returns (step_fn, place):
     step_fn(c[B, 2, Lc, N] duals) → same shape, dropped limb zeroed.
-    Pass ``mesh=None`` for the single-chip flavor."""
+    Pass ``mesh=None`` for the single-chip flavor.
+
+    ``fused_schedule=True`` runs the FUSED 61-transform contraction
+    (in-group digit reuse + dual-domain ModDown,
+    :func:`_square_relin_rescale_hybrid_fused`) under the same mesh and
+    collective sites — bit-identical to the v1 schedule; with
+    ``mesh=None`` it simply returns :func:`make_hybrid_fused_step`."""
     from ..core import ring as R
+
+    if fused_schedule and mesh is None:
+        return make_hybrid_fused_step(params, ek)
 
     ct_ring = params.ring_cipher
     Lc, k = ct_ring.nlimbs, params.num_special
@@ -441,6 +451,68 @@ def make_hybrid_sharded_step(mesh: Mesh, params, ek, dp: bool = True,
 
     data_spec = P("dp" if dp else None, None, "rp", None)
     repl2, repl3 = P(None, None), P(None, None, None)
+
+    if fused_schedule:
+        ndig = len(eng_groups)
+        qL = ct_ring.primes[-1]
+        Pmod = params.P
+        spp = sp_ring.primes
+        g_idx_np = np.zeros(Lc, np.int32)
+        for j, (lo, hi) in enumerate(bounds):
+            g_idx_np[lo:hi] = j
+        dig_idx_np = (np.stack(
+            [np.asarray([j for j in range(ndig) if j != g], np.int32)
+             for g in g_idx_np], 0) if ndig > 1
+            else np.zeros((Lc, 0), np.int32))
+        A_c = jnp.asarray(mont_col(
+            [pow((Pmod * qL) % p, -1, p) if p != qL else 0
+             for p in ct_ring.primes], ct_ring.primes))
+        Bw_c = jnp.asarray(mont_col(
+            [pow(qL % p, -1, p) if p != qL else 0 for p in ct_ring.primes],
+            ct_ring.primes))
+        prods = [math.prod(spp[: k - s]) for s in range(k)]
+        W_c = tuple(jnp.asarray(mont_col(
+            [pow((pr * qL) % p, -1, p) if p != qL else 0
+             for p in ct_ring.primes], ct_ring.primes)) for pr in prods)
+        pinv_L = jnp.asarray(mont_col([pow(Pmod % qL, -1, qL)], [qL]))
+        wL = tuple(jnp.asarray(mont_col([pow(pr % qL, -1, qL)], [qL]))
+                   for pr in prods)
+        dinvs = tuple(jnp.asarray(mont_col(
+            [pow(spp[k - s] % p, -1, p) for p in spp[: k - s]],
+            spp[: k - s])) for s in range(1, k))
+        ltabs = full_table_pytree(ct_ring.select([Lc - 1]).tables)
+
+        bodyf = functools.partial(_square_relin_rescale_hybrid_fused,
+                                  bounds=bounds, axis_name="rp", lazy=lazy)
+        fnf = shard_map(
+            bodyf, mesh=mesh,
+            in_specs=(data_spec,
+                      P(None, "rp", None), repl3,       # km ct / sp
+                      P(None, "rp", None), repl3,       # kd ct / sp
+                      P("rp", None),                    # yinv
+                      tuple(P("rp", None, None) for _ in gct),
+                      tuple(repl3 for _ in gsp),
+                      P("rp"), P("rp", None),           # g_idx, dig_idx
+                      P("rp", None), P("rp", None),     # A, Bw
+                      tuple(P("rp", None) for _ in W_c),
+                      repl2,                            # pinv_L
+                      tuple(repl2 for _ in wL),
+                      tuple(repl2 for _ in dinvs),
+                      full_table_specs(),
+                      _repl_table_specs(),
+                      _repl_table_specs()),
+            out_specs=data_spec,
+            check_vma=False)
+        jfnf = jax.jit(lambda c: fnf(
+            c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp,
+            jnp.asarray(g_idx_np), jnp.asarray(dig_idx_np), A_c, Bw_c, W_c,
+            pinv_L, wL, dinvs, tabs, stabs, ltabs))
+
+        def placef(x):
+            return jax.device_put(x, NamedSharding(mesh, data_spec))
+
+        return jfnf, placef
+
     body = functools.partial(_square_relin_rescale_hybrid, bounds=bounds,
                              axis_name="rp", lazy=lazy)
     fn = shard_map(
@@ -635,6 +707,162 @@ def make_hybrid_fused_step(params, ek):
         return jnp.concatenate([out, zero], axis=-2)
 
     return jax.jit(step), lambda x: jnp.asarray(x)
+
+
+def _mp_first(tabs, m: int):
+    """MontParams over the first ``m`` limb rows of a table pytree."""
+    from ..ops.modmath import MontParams
+    p = tabs["p"][:m]
+    return MontParams(p=p, ninv=tabs["ninv"][:m], r2=tabs["r2"][:m],
+                      r1=tabs["r1"][:m], half=(p - 1) // 2)
+
+
+def _square_relin_rescale_hybrid_fused(
+        c, km_ct, km_sp, kd_ct, kd_sp, yinv, gct, gsp, g_idx, dig_idx,
+        A, Bw, W, pinv_L, wL, dinvs, tabs, stabs, ltabs, bounds=None,
+        axis_name=None, lazy=False):
+    """rp-sharded square → hybrid relinearize → rescale with the FUSED
+    transform schedule (the 95→61-transform contraction of
+    ``make_hybrid_fused_step``, round-3 VERDICT item 3/ROADMAP lever 4) —
+    bit-identical to :func:`_square_relin_rescale_hybrid`.
+
+    Fused-schedule structure per shard (vs the v1 body):
+
+      * **in-group digit reuse** — digit j's rows inside group j equal
+        d3's own dual rows (``hybrid.hybrid_decompose_dual``'s identity),
+        so each LOCAL ct row is NTT'd for only the ndig−1 digits that
+        don't own it. The owning digit differs per shard, so the
+        selection runs through per-shard index inputs (``g_idx``,
+        ``dig_idx``) instead of static python indices — same program on
+        every shard, different gather indices.
+      * **dual-domain ModDown** — INTT only the k special accumulator
+        rows (replicated, so no collective), unroll the P-division into
+        lifts l_1..l_k, recover the dropped-limb residue l_0 from a
+        one-row INTT of the GLOBAL last data row (one tiny all_gather —
+        the same site v1 uses for its final rescale), and fold every
+        correction into ONE ct-tower NTT over the local rows.
+      * d1, d2 never leave the dual domain.
+
+    Extra per-shard inputs over the v1 body (k = num_special):
+      g_idx:    int32[L_loc]           owning digit of each local ct row
+      dig_idx:  int32[L_loc, ndig−1]   the other digits, ascending
+      A:        uint32[L_loc, 1]       (P·q_L)⁻¹ Montgomery cols (0 @ q_L)
+      Bw:       uint32[L_loc, 1]       q_L⁻¹ cols (0 @ q_L)
+      W[s]:     uint32[L_loc, 1]       (∏spp[:k−s]·q_L)⁻¹ cols (0 @ q_L)
+      pinv_L:   uint32[1, 1]           P⁻¹ mod q_L            (replicated)
+      wL[s]:    uint32[1, 1]           (∏spp[:k−s])⁻¹ mod q_L (replicated)
+      dinvs[s]: uint32[k−s−1, 1]       special-drop inverses  (replicated)
+      ltabs:    table pytree of the single global-last-limb row (repl.)
+    """
+    mp = _mp_full(tabs)
+    mp_sp = _mp_full(stabs)
+    mp_last = _mp_full(ltabs)
+    L_loc = c.shape[-2]
+    k = km_sp.shape[1]
+    ndig = km_ct.shape[0]
+
+    c1, c2 = c[:, 0], c[:, 1]
+    # --- homomorphic square (rlwe_she.jl:255-258) ---
+    d1 = _mulmod_t(c1, c1, tabs)
+    mid = _mulmod_t(c1, c2, tabs)
+    d2 = modmath.add_mod(mid, mid, mp)
+    d3 = _mulmod_t(c2, c2, tabs)
+
+    # --- digit decomposition: local INTT + premultiply, one all_gather ---
+    d3p = S.intt_p(d3, tabs, lazy)
+    y_loc = modmath.mont_mul(d3p, yinv, mp)             # [B, L_loc, N]
+    if axis_name is not None:
+        y = jax.lax.all_gather(y_loc, axis_name, axis=1, tiled=True)
+    else:
+        y = y_loc
+
+    # --- FBC onto the local target rows (ct rows + replicated specials) ---
+    mp3 = mp.expand()
+    mp_sp3 = mp_sp.expand()
+    fbc_ct, fbc_sp = [], []
+    for (lo, hi), cct, csp in zip(bounds, gct, gsp):
+        yi = y[..., None, lo:hi, :]                     # [B, 1, a_j, N]
+        fbc_ct.append(modmath.mod_sum(
+            modmath.mont_mul(yi, cct, mp3), mp, axis=-2))
+        fbc_sp.append(modmath.mod_sum(
+            modmath.mont_mul(yi, csp, mp_sp3), mp_sp, axis=-2))
+    fbc_ct = jnp.stack(fbc_ct, axis=1)                  # [B, ndig, L_loc, N]
+    fbc_sp = jnp.stack(fbc_sp, axis=1)                  # [B, ndig, k, N]
+
+    # --- in-group reuse: NTT only the ndig−1 non-owning digits per row ---
+    if ndig == 1:                     # every row in-group: pure d3 reuse
+        digs_ct = d3[:, None]
+    else:
+        sel_idx = jnp.transpose(dig_idx)[None, :, :, None]  # [1,nd−1,Ll,1]
+        sel = jnp.take_along_axis(fbc_ct, sel_idx, axis=1)
+        tf = S.ntt_p(sel, tabs, lazy)                   # [B, nd−1, L_loc, N]
+        jj = jnp.arange(ndig, dtype=jnp.int32)[None, :, None, None]
+        gi = g_idx[None, None, :, None]
+        r = jnp.clip(jj - (jj > gi).astype(jnp.int32), 0, ndig - 2)
+        back = jnp.take_along_axis(tf, r, axis=1)       # [B, ndig, L_loc, N]
+        digs_ct = jnp.where(jj == gi, d3[:, None], back)
+    digs = jnp.concatenate([digs_ct, S.ntt_p(fbc_sp, stabs, lazy)],
+                           axis=-2)                     # [B, ndig, T_loc, N]
+
+    # --- key contraction over local target rows ---
+    mp_e = _rem_mp(tabs, stabs, k)
+    kme = jnp.concatenate([km_ct, km_sp], axis=1)       # [ndig, T_loc, N]
+    kde = jnp.concatenate([kd_ct, kd_sp], axis=1)
+    acc1 = modmath.mod_sum(modmath.mul_mod(digs, kde, mp_e), mp_e, axis=-3)
+    acc2 = modmath.mod_sum(modmath.mul_mod(digs, kme, mp_e), mp_e, axis=-3)
+    acc = jnp.stack([acc1, acc2], axis=1)               # [B, 2, T_loc, N]
+    d12 = jnp.stack([d1, d2], axis=1)                   # [B, 2, L_loc, N]
+
+    # --- fused ModDown lifts from the (replicated) special rows only ---
+    sp = S.intt_p(acc[..., L_loc:, :], stabs, lazy)     # [B, 2, k, N]
+    lifts = []
+    for s in range(k):
+        l = sp[..., -1:, :]
+        lifts.append(l)
+        sp = sp[..., :-1, :]
+        if sp.shape[-2]:
+            mp_rem = _mp_first(stabs, sp.shape[-2])
+            sp = modmath.mont_mul(
+                modmath.sub_mod(sp, modmath.umod(l, mp_rem.p), mp_rem),
+                dinvs[s], mp_rem)
+
+    # --- l_0: raw residue of (acc/P + d) mod q_L from the GLOBAL last
+    # data row (same collective site as v1's final rescale) ---
+    last_loc = jnp.concatenate(
+        [acc[..., L_loc - 1:L_loc, :], d12[..., L_loc - 1:L_loc, :]],
+        axis=1)                                         # [B, 4, 1, N]
+    if axis_name is not None:
+        idx = jax.lax.axis_index(axis_name)
+        nsh = jax.lax.axis_size(axis_name)
+        rows = jax.lax.all_gather(last_loc, axis_name, axis=2, tiled=True)
+        last_in = rows[..., -1:, :]                     # global row L−1
+    else:
+        idx, nsh = 0, 1
+        last_in = last_loc
+    last_p = S.intt_p(last_in, ltabs, lazy)             # [B, 4, 1, N]
+    accL, dL = last_p[:, :2], last_p[:, 2:]
+    bL = modmath.mont_mul(accL, pinv_L, mp_last)
+    for s in range(k):
+        bL = modmath.sub_mod(
+            bL, modmath.mont_mul(modmath.umod(lifts[s], mp_last.p),
+                                 wL[s], mp_last), mp_last)
+    l0 = modmath.add_mod(bL, dL, mp_last)               # [B, 2, 1, N]
+
+    # --- one combined-correction NTT over the local rows ---
+    D = modmath.mont_mul(modmath.umod(l0, mp.p), Bw, mp)
+    for s in range(k):
+        D = modmath.add_mod(
+            D, modmath.mont_mul(modmath.umod(lifts[s], mp.p), W[s], mp),
+            mp)
+    Dd = S.ntt_p(D, tabs, lazy)                         # [B, 2, L_loc, N]
+
+    out = modmath.sub_mod(
+        modmath.add_mod(modmath.mont_mul(acc[..., :L_loc, :], A, mp),
+                        modmath.mont_mul(d12, Bw, mp), mp),
+        Dd, mp)
+    limb_ids = idx * L_loc + jnp.arange(L_loc)
+    keep = (limb_ids < nsh * L_loc - 1)[:, None]
+    return jnp.where(keep, out, 0)
 
 
 def make_single_chip_step(tables, key_masks, key_maskeds):
