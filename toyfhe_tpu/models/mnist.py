@@ -721,7 +721,8 @@ def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
 # jitted (serving-path) encrypted inference — same math, compiled layers
 # ---------------------------------------------------------------------------
 
-def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
+def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
+                             dual_flow=None):
     """Build the compiled serving pipeline ONCE (layer jits, weight/diag
     encodings) and return ``run(batch, rng) -> logits``. Re-calling
     ``run`` reuses every compiled program — the warm path is the serving
@@ -731,7 +732,17 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
     compile the hoisted BSGS schedule instead of the d−1-keyswitch
     rotation loop: the whole engine-level BSGS matmul (rotate_many +
     lazy-ModDown rotate_sum) traces into ONE jit per dense layer, with
-    the galois keys passed as pytree arguments (not HLO constants)."""
+    the galois keys passed as pytree arguments (not HLO constants).
+
+    ``dual_flow`` (round-3 VERDICT item 3): layer boundaries carry
+    DUAL-domain ciphertexts end to end — conv and bias layers rescale in
+    the dual domain (one-row INTT + L−1-row NTT instead of a full-tower
+    INTT that the next layer immediately re-NTTs) and both square layers
+    run the FUSED 61-transform contraction
+    (``parallel.ops.make_hybrid_fused_step``: in-group digit reuse +
+    dual-domain ModDown). Bit-identical to the primal flow. Default
+    (None): auto-enabled for HybridRaised params with BSGS dense layers
+    — the production serving configuration."""
     from fractions import Fraction as Fr
 
     from ..core import ring as ringops
@@ -739,6 +750,13 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
 
     cfg = setup.cfg
     params = setup.params
+    if dual_flow is None:
+        dual_flow = (getattr(params, "hybrid_decompose", None) is not None
+                     and gks_bsgs is not None)
+    if dual_flow and (getattr(params, "hybrid_decompose", None) is None
+                      or gks_bsgs is None):
+        raise ValueError("dual_flow requires HybridRaised params and "
+                         "BSGS dense keys (gks_bsgs)")
     ring0 = params.ring_cipher
     n = ring0.n
     s0 = setup.scale
@@ -760,12 +778,16 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
         ringops.ensure_dual(ring0, F.ckks_encode(
             ring0, np.full(n // 2, float(bconv[c]), dtype=complex), s_conv)).dual
         for c in range(cfg.channels)], 0)
-    conv = JL.ConvLayer(params, ring0, cfg.channels)
+    conv = JL.ConvLayer(params, ring0, cfg.channels, dual_out=dual_flow)
     ring1 = ring0.drop_last()
     s1 = s_conv / ring0.primes[-1]
 
     # ---- square 1 ----
-    sq1 = JL.SquareRelinLayer(params, setup.ek, ring1)
+    if dual_flow:
+        from ..parallel import ops as pops
+        sq1_fused, _ = pops.make_hybrid_fused_step(params, setup.ek, ring1)
+    else:
+        sq1 = JL.SquareRelinLayer(params, setup.ek, ring1)
     ring2 = ring1.drop_last()
     s2 = s1 * s1 / ring1.primes[-1]
 
@@ -796,8 +818,9 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
         gks_bsgs = jax.device_put(gks_bsgs)
 
         def _dense1_bsgs(o1, o2, gks_):
-            cts = [F.CipherText(params, (F.RingElt(primal=o1[ci]),
-                                         F.RingElt(primal=o2[ci])),
+            mk = ((lambda x: F.RingElt(dual=x)) if dual_flow
+                  else (lambda x: F.RingElt(primal=x)))
+            cts = [F.CipherText(params, (mk(o1[ci]), mk(o2[ci])),
                                 ring2, enc=CKKSTag(s2))
                    for ci in range(cfg.channels)]
             terms = _merge_bsgs_terms(
@@ -816,12 +839,16 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
     b1_dual = ringops.ensure_dual(ring2, F.ckks_encode(
         ring2, _rep_inner(np.asarray(model_params["b1"]), cfg.batch)
         .astype(complex), s_fq1)).dual
-    br = JL.BiasRescaleLayer(ring2)
+    br = JL.BiasRescaleLayer(ring2, dual_out=dual_flow)
     ring3 = ring2.drop_last()
     s3 = s_fq1 / ring2.primes[-1]
 
     # ---- square 2 ----
-    sq2 = JL.SquareRelinLayer(params, setup.ek, ring3)
+    if dual_flow:
+        from ..parallel import ops as pops
+        sq2_fused, _ = pops.make_hybrid_fused_step(params, setup.ek, ring3)
+    else:
+        sq2 = JL.SquareRelinLayer(params, setup.ek, ring3)
     ring4 = ring3.drop_last()
     s4 = s3 * s3 / ring3.primes[-1]
 
@@ -842,8 +869,9 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
 
         def _dense2_bsgs(g1, g2, gks_):
             from ..core import rlwe
-            ct = F.CipherText(params, (F.RingElt(primal=g1),
-                                       F.RingElt(primal=g2)),
+            mk = ((lambda x: F.RingElt(dual=x)) if dual_flow
+                  else (lambda x: F.RingElt(primal=x)))
+            ct = F.CipherText(params, (mk(g1), mk(g2)),
                               ring4, enc=_Tag(s4))
             terms = _bsgs_matmul_terms(setup, gks_, wpad, ct)
             out = (rlwe.rotate_sum(gks_, terms) if terms
@@ -867,7 +895,13 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
             for i in range(cfg.kernel) for j in range(cfg.kernel)], 0)
         cts = enc(jnp.asarray(pts), rng)              # (G, 2, L0, N) dual
         conv_out = conv(cts, jnp.asarray(wq), bias_dual)
-        o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # (C, L2, N) primal
+        if dual_flow:
+            # conv_out (C, 2, L1, N) DUAL; fused square keeps the tower
+            # shape with the dropped limb zeroed — slice to ring2 rows
+            sq1_out = sq1_fused(conv_out)[..., : ring2.nlimbs, :]
+            o1, o2 = sq1_out[:, 0], sq1_out[:, 1]     # (C, L2, N) dual
+        else:
+            o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # primal
         if gks_bsgs is not None:
             fq1_1, fq1_2 = dense1_bsgs(o1, o2, gks_bsgs)
         else:
@@ -876,8 +910,13 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
                 r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
                 fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
                 fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
-        f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # primal (L3, N)
-        g1, g2 = sq2(f1p, f2p)                        # (L4, N) primal
+        f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # (L3, N)
+        if dual_flow:
+            sq2_out = sq2_fused(jnp.stack([f1p, f2p], 0)[None]
+                                )[0][..., : ring4.nlimbs, :]
+            g1, g2 = sq2_out[0], sq2_out[1]           # (L4, N) dual
+        else:
+            g1, g2 = sq2(f1p, f2p)                    # (L4, N) primal
         if gks_bsgs is not None:
             r1, r2 = dense2_bsgs(g1, g2, gks_bsgs)    # dual at s4²
         else:
@@ -893,7 +932,8 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None):
 
 
 def encrypted_inference_fast(setup: FHESetup, model_params,
-                             batch: np.ndarray, rng, gks_bsgs=None):
+                             batch: np.ndarray, rng, gks_bsgs=None,
+                             dual_flow=None):
     """Encrypted forward pass using the compiled layers in
     parallel/layers.py (bit-exact vs the eager pipeline per layer).
     Returns the decrypted logits matrix [classes, B]. The built pipeline
@@ -901,8 +941,9 @@ def encrypted_inference_fast(setup: FHESetup, model_params,
     pipe = getattr(setup, "_pipeline", None)
     prev = getattr(setup, "_pipeline_key", None)
     if (pipe is None or prev is None or prev[0] is not model_params
-            or prev[1] is not gks_bsgs):
-        pipe = build_inference_pipeline(setup, model_params, gks_bsgs)
+            or prev[1] is not gks_bsgs or prev[2:] != (dual_flow,)):
+        pipe = build_inference_pipeline(setup, model_params, gks_bsgs,
+                                        dual_flow=dual_flow)
         setup._pipeline = pipe
-        setup._pipeline_key = (model_params, gks_bsgs)
+        setup._pipeline_key = (model_params, gks_bsgs, dual_flow)
     return pipe(batch, rng)

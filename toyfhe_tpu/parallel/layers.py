@@ -444,13 +444,49 @@ def _modraise_keyswitch_pair(ka: ModRaiseKeyArrays, d1_dual, d2_dual, d3p):
     return rescale(r1p), rescale(r2p)
 
 
+class DualRescale:
+    """Fused dual-domain rescale-by-the-last-data-prime (the layer-level
+    twin of ``ring.rescale_dual``): bit-identical to the primal rescale
+    (NTT is linear and exact) but pays INTT for ONE row + NTT for L−1
+    rows instead of a full-tower INTT followed by the next layer's
+    re-NTT — the transform tax of the primal layer-boundary contract
+    (round-3 VERDICT item 3 / ROADMAP lever 3)."""
+
+    def __init__(self, ct_ring):
+        self.ct_ring = ct_ring
+        qk = ct_ring.primes[-1]
+        sub = ct_ring.drop_last()
+        self.sub_ring = sub
+        self.last_ring = ct_ring.select([ct_ring.nlimbs - 1])
+        self.tabs_sub = full_table_pytree(sub.tables)
+        self.tabs_last = full_table_pytree(self.last_ring.tables)
+        self.mt_sub = _mxu_tables(sub.tables)
+        self.mt_last = _mxu_tables(self.last_ring.tables)
+        self.lazy = sub.tables.lazy_ok and self.last_ring.tables.lazy_ok
+        self.inv_q_mont = jnp.asarray(
+            _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+
+    def fn(self, x_dual):
+        """uint32[..., L, N] dual → uint32[..., L−1, N] dual."""
+        lastp = _intt_t(x_dual[..., -1:, :], self.tabs_last, self.lazy,
+                        self.mt_last)                    # raw residues
+        mp_sub = _mp_full(self.tabs_sub)
+        corr = modmath.mont_mul(modmath.umod(lastp, mp_sub.p),
+                                self.inv_q_mont, mp_sub)
+        corr_dual = _ntt_t(corr, self.tabs_sub, self.lazy, self.mt_sub)
+        return modmath.sub_mod(
+            modmath.mont_mul(x_dual[..., :-1, :], self.inv_q_mont, mp_sub),
+            corr_dual, mp_sub)
+
+
 class ConvLayer:
     """One-jit encrypted convolution (infer.jl:126-130): per output
     channel, Σ over the k×k ciphertext grid of plain-scalar multiplies,
     plus bias, plus the rescale. Inputs dual cts (G, 2, Lc, N); outputs
     primal (C, 2, Lc−1, N) at scale²/q_last."""
 
-    def __init__(self, params, ct_ring=None, channels: int = 4):
+    def __init__(self, params, ct_ring=None, channels: int = 4,
+                 dual_out: bool = False):
         ct = ct_ring if ct_ring is not None else params.ring_cipher
         self.ct_ring = ct
         qk = ct.primes[-1]
@@ -460,6 +496,8 @@ class ConvLayer:
         self.mt = _mxu_tables(ct.tables)
         self.inv_q_mont = jnp.asarray(
             _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+        self.dual_out = dual_out
+        self.dual_rescale = DualRescale(ct) if dual_out else None
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -467,6 +505,7 @@ class ConvLayer:
         mt = self.mt
         lazy = self.ct_ring.tables.lazy_ok
         inv_q = self.inv_q_mont
+        dr = self.dual_rescale
 
         def fn(cts_dual, w_res, bias_dual):
             # cts_dual: (G, 2, L, N); w_res: (C, G, L, 1); bias: (C, L, N)
@@ -482,6 +521,8 @@ class ConvLayer:
 
             acc = jax.lax.fori_loop(0, G, body, acc0)
             acc = acc.at[:, 0].set(modmath.add_mod(acc[:, 0], bias_dual, mp))
+            if dr is not None:          # dual-domain boundary contract
+                return dr.fn(acc)
             accp = _intt_t(acc, tabs, lazy, mt)
             mp_sub = _sub_mp(mp)
             last = accp[..., -1:, :]
@@ -498,7 +539,7 @@ class ConvLayer:
 class BiasRescaleLayer:
     """One-jit bias-add (dual) + rescale, for after a matmul layer."""
 
-    def __init__(self, ct_ring):
+    def __init__(self, ct_ring, dual_out: bool = False):
         self.ct_ring = ct_ring
         qk = ct_ring.primes[-1]
         sub = ct_ring.drop_last()
@@ -507,6 +548,7 @@ class BiasRescaleLayer:
         self.mt = _mxu_tables(ct_ring.tables)
         self.inv_q_mont = jnp.asarray(
             _mont_col([pow(qk, -1, p) for p in sub.primes], sub.primes))
+        self.dual_rescale = DualRescale(ct_ring) if dual_out else None
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -514,11 +556,15 @@ class BiasRescaleLayer:
         mt = self.mt
         lazy = self.ct_ring.tables.lazy_ok
         inv_q = self.inv_q_mont
+        dr = self.dual_rescale
 
         def fn(c1d, c2d, bias_dual):
             mp = _mp_full(tabs)
             c1d = modmath.add_mod(c1d, bias_dual, mp)
             stack = jnp.stack([c1d, c2d], 0)
+            if dr is not None:          # dual-domain boundary contract
+                out = dr.fn(stack)
+                return out[0], out[1]
             p = _intt_t(stack, tabs, lazy, mt)
             mp_sub = _sub_mp(mp)
             last = p[..., -1:, :]

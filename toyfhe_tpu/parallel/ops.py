@@ -550,7 +550,7 @@ def _repl_table_specs() -> dict:
     }
 
 
-def make_hybrid_fused_step(params, ek):
+def make_hybrid_fused_step(params, ek, ct_ring=None):
     """Single-chip square → hybrid relinearize → rescale with the FUSED
     transform schedule (round-2 VERDICT item 2) — bit-identical to
     ``make_hybrid_sharded_step(None, ...)`` and to the eager engine, but
@@ -577,7 +577,7 @@ def make_hybrid_fused_step(params, ek):
     from ..core import ring as R
     from ..ops import ntt as nttmod
 
-    ct_ring = params.ring_cipher
+    ct_ring = ct_ring if ct_ring is not None else params.ring_cipher
     L, k = ct_ring.nlimbs, params.num_special
     exp_ring, eng_groups = params._tables(L)
     T = exp_ring.nlimbs
