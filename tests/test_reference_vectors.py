@@ -357,8 +357,26 @@ def test_device_polycrt_encoding(golden):
 _FAST_HOST = ["ckks_rotate", "ckks_modswitch", "ckks_matmul", "bgv_triv",
               "bfv_crt", "polycrt_encoding", "bfv_uint8", "ckks_modraise",
               "ckks_device_tower"]
+# ckks_bootstrap re-runs the full device refresh (~3-5 min on this host)
 _SLOW_HOST = ["bfv_triv", "bfv_keyswitch", "ckks_triv", "bfv_simd",
-              "bfv_noise"]
+              "bfv_noise", "ckks_bootstrap"]
+
+
+def test_bootstrap_golden_recorded(golden):
+    """Default-tier guard for the bootstrap golden pin (round-3 VERDICT
+    item 7): the recorded scenario must exist, carry the full bit-exact
+    residue records for both ciphertext components, and its recorded
+    refresh error must sit in the healthy band. The full bit-exact
+    replay runs in the slow tier (test_host_reproduces_golden_slow
+    [ckks_bootstrap])."""
+    g = golden["ckks_bootstrap"]
+    assert g["params"]["radix"] == 16 and g["params"]["double_angle"] == 2
+    assert g["params"]["out_levels"] >= 6
+    for key in ("ct_c0", "ct_c1"):
+        rec = g["checks"][key]
+        assert ("full" in rec) or ("sha256" in rec and rec["prefix"])
+    assert 0 < g["checks"]["err_vs_input"] < 2e-2
+    assert len(g["checks"]["decoded"]) == g["params"]["n"] // 2
 
 
 def _assert_scenario_reproduced(golden, name):

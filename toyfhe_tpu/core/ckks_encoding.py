@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from fractions import Fraction
 from typing import Optional, Union
 
@@ -183,6 +184,12 @@ def mul_plain_scalar_at(c: CipherText, x, at_scale: ScaleLike) -> CipherText:
     q = c.ring.modulus
     v = Fraction(x) * at_scale
     m = (2 * v.numerator + v.denominator) // (2 * v.denominator)
+    if os.environ.get("TOYFHE_DEBUG_SCALES") and x != 0:
+        rel = abs(Fraction(m) - v) / abs(v) if v else Fraction(0)
+        if rel > Fraction(1, 1 << 24):
+            print(f"[scales] mul_plain_scalar_at COARSE: x={float(x):.6g} "
+                  f"at={float(at_scale):.6g} m={m} rel_err={float(rel):.3e}",
+                  flush=True)
     s = c.ring.scalar_residues(m % q)
     cs = tuple(R.scalar_mul(c.ring, s, x_) for x_ in c.cs)
     return CipherText(c.params, cs, c.ring, enc=CKKSTag(scale * at_scale))
@@ -359,6 +366,10 @@ def mul_plain_vectors(c: CipherText, vecs,
 def add_plain(c: CipherText, vals) -> CipherText:
     """c +ₚ scalar-or-vector broadcast (ckksencoding.jl:115-124)."""
     scale = _ct_scale(c)
+    if os.environ.get("TOYFHE_DEBUG_SCALES"):
+        if scale < (1 << 24):
+            print(f"[scales] add_plain COARSE: scale={float(scale):.6g}",
+                  flush=True)
     slots = np.zeros(c.ring.n // 2, dtype=np.complex128)
     slots[:] = vals
     pe = ckks_encode(c.ring, slots, scale)

@@ -623,6 +623,62 @@ def run_ckks_device_tower(seed: int = SEED) -> dict:
                        "decoded": cvec_record(d)}}
 
 
+def run_ckks_bootstrap(seed: int = SEED) -> dict:
+    """Golden-pinned CKKS bootstrap (round-3 VERDICT item 7): the
+    refresh is this framework's biggest beyond-reference feature (ToyFHE
+    has no bootstrap — README.md:73-79), so regressions must be caught
+    BIT-exactly, not by tolerance drift. Unlike the other scenarios this
+    one runs the DEVICE engine (jax, CPU backend) — there is no host-
+    engine bootstrap — at a small factored config with fixed PRNG keys:
+    ModRaise → factored CoeffToSlot (radix 4) → double-angle EvalMod
+    with arcsine → SlotToCoeff. Records the refreshed ciphertext's
+    residue tensors (the full bit-exact pin: every op in the refresh is
+    deterministic on a fixed platform) plus the decoded slots.
+
+    Determinism caveat: the EvalMod coefficients come from numpy's
+    ``chebinterpolate`` and the transform diagonals from float64
+    twiddles — bit-stable on one platform/numpy version; a numpy
+    upgrade that changes those bit patterns requires re-recording
+    (tools/record_golden.py)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (backend warm-up)
+    import toyfhe_tpu as F
+    from . import bootstrap as B
+    from . import ring as R
+
+    n = 32
+    ring = F.make_rns_ring(n, (30,) * 23)
+    params = F.ModulusRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=8))
+    ks = jax.random.split(jax.random.PRNGKey(seed % (2 ** 31)), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=6.0, deg=30, radix=16,
+                            arcsin=True, double_angle=2)
+    rng = np.random.default_rng(seed % (2 ** 31))
+    vals = (rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), ks[2])
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+    # compiled refresh: the jitted path is both the production path and
+    # ~10x faster than eager on CPU; integer ops are bit-identical
+    out = jax.jit(lambda ctx_, c_: B.bootstrap(ctx_, c_))(ctx, c)
+
+    comps = [np.asarray(R.ensure_primal(out.ring, x).primal).ravel()
+             for x in out.cs]
+    dec = np.asarray(F.decrypt(kp, out))
+    err = float(np.max(np.abs(dec - vals)))
+    assert err < 2e-2, f"golden bootstrap refresh broken: err {err:.2e}"
+    return {"params": {"n": n, "tower": "23x30-bit", "radix": 16,
+                       "K": 6.0, "deg": 30, "double_angle": 2,
+                       "arcsin": True, "scale": "2^27",
+                       "out_levels": out.ring.nlimbs},
+            "checks": {"ct_c0": vec_record(comps[0]),
+                       "ct_c1": vec_record(comps[1]),
+                       "decoded": cvec_record(dec),
+                       "err_vs_input": err}}
+
+
 SCENARIOS = {
     "bfv_triv": run_bfv_triv,
     "bfv_keyswitch": run_bfv_keyswitch,
@@ -638,6 +694,7 @@ SCENARIOS = {
     "ckks_matmul": run_ckks_matmul,
     "ckks_modraise": run_ckks_modraise,
     "ckks_device_tower": run_ckks_device_tower,
+    "ckks_bootstrap": run_ckks_bootstrap,
 }
 
 
