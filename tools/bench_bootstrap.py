@@ -76,24 +76,32 @@ def main():
         # which fail the 2^30 MXU/lazy gate and silently demote every
         # transform in the refresh to radix-2 (docs/performance.md)
         if sl == 2:
-            # composite scaling: 2×29-bit base, 26-bit level pairs
-            tower = (29, 29) + (26,) * L
+            # composite scaling: 2×29-bit base, BALANCED 26-bit level
+            # pairs (B.make_boot_ring — the N=2^13 root-cause fix: the
+            # upward prime walk's pair drift collapses the working scale
+            # through the unstable scale²/pair equilibrium)
             scale = Fraction(2) ** 52
             base_limbs = 2
         else:
             tower = (29,) * (L + 1)
             scale = Fraction(2) ** 27
             base_limbs = 1
-        lct = len(tower) if sl == 2 else L
+        lct = (2 + L) if sl == 2 else L
         if dnum:
             alpha = -(-lct // dnum)
             k = alpha + 1                 # P > alpha * Q_group headroom
-            ring = F.make_rns_ring(n, tower + (29,) * k)
+            if sl == 2:
+                ring = B.make_boot_ring(n, L=L, num_special=k)
+            else:
+                ring = F.make_rns_ring(n, tower + (29,) * k)
             params = F.HybridRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h), dnum, k)
         else:
-            ring = F.make_rns_ring(n, tower + ((29,) if sl == 2 else ()))
+            if sl == 2:
+                ring = B.make_boot_ring(n, L=L, num_special=1)
+            else:
+                ring = F.make_rns_ring(n, tower)
             params = F.ModulusRaised(
                 F.CKKSParams(ring, 0, 3.2, secret="sparse",
                              hamming_weight=h))

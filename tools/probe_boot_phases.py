@@ -35,7 +35,7 @@ def main():
     lct = 2 + L
     alpha = -(-lct // dnum)
     k = alpha + 1
-    ring = F.make_rns_ring(n, (29, 29) + (26,) * L + (29,) * k)
+    ring = B.make_boot_ring(n, L=L, num_special=k)
     params = F.HybridRaised(
         F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=h),
         dnum, k)

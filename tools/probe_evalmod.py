@@ -39,7 +39,9 @@ def main():
     lct = 2 + L
     alpha = -(-lct // dnum)
     k = alpha + 1
-    ring = F.make_rns_ring(n, (29, 29) + (26,) * L + (29,) * k)
+    ring = (B.make_boot_ring(n, L=L, num_special=k)
+            if "--balanced" in sys.argv
+            else F.make_rns_ring(n, (29, 29) + (26,) * L + (29,) * k))
     params = F.HybridRaised(
         F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=h),
         dnum, k)
@@ -78,6 +80,94 @@ def main():
     chi = CE.ct_drop_to(chi, nl_target)
     print(f"encrypt+drop {time.time()-t0:.0f}s  tower {clo.ring.nlimbs}",
           flush=True)
+
+    if "--single" in sys.argv:
+        # jit, UNBATCHED, optionally without arcsin: discriminates
+        # jit-vs-eager from batched-vs-single from arcsin (the eager
+        # unbatched no-arcsin chain is clean to 3.6e-8)
+        import math
+        arcsin = "--noarcsin" not in sys.argv
+        t0 = time.time()
+
+        def one(c_):
+            ev_ = B.eval_chebyshev(ctx.ek, c_, ctx.cheb, ctx.K,
+                                   scale_limbs=2)
+            if arcsin:
+                ev_ = B._arcsin_correct(ctx.ek, ev_, 2)
+            return ev_
+        ev1 = jax.jit(one)(clo)
+        print(f"single jit (arcsin={arcsin}) compile+run "
+              f"{time.time()-t0:.0f}s", flush=True)
+        z1 = F.decrypt(kp, ev1)
+        cheb = B.sine_cheb_coeffs(K, deg)
+        s = np.polynomial.chebyshev.chebval(np.real(vlo) / K, cheb)
+        want = s + ((2 * math.pi) ** 2 / 6.0 * s ** 3 if arcsin else 0)
+        err = np.abs(z1 - want)
+        bad = np.nonzero(err > 1e-2)[0]
+        print(f"single: max dev {err.max():.3e} mean {err.mean():.3e} "
+              f"bad {len(bad)} edge devs: [0]={err[0]:.3e} "
+              f"[1]={err[1]:.3e} [-1]={err[-1]:.3e}", flush=True)
+        return
+
+    if "--arcstep" in sys.argv:
+        # decrypt every intermediate of _arcsin_correct on the clean
+        # sine output: s2, s3, t3 (6.58 s^3 plain term), t1 (aligned s)
+        import math
+        from toyfhe_tpu.core import ckks_encoding as CE2
+
+        def steps(c_):
+            s = B.eval_chebyshev(ctx.ek, c_, ctx.cheb, ctx.K,
+                                 scale_limbs=2)
+            s2 = B._mul_ct(ctx.ek, s, s, 2)
+            s3 = B._mul_ct(ctx.ek, s2, s, 2)
+            c3 = (2.0 * math.pi) ** 2 / 6.0
+            t3 = B._plain_term(s3, c3, s3.ring.nlimbs - 2, s3.enc.scale, 2)
+            t1 = CE2.ct_to(s, t3.ring.nlimbs, t3.enc.scale)
+            return s, s2, s3, t3, t1
+        t0 = time.time()
+        s, s2, s3, t3, t1 = jax.jit(steps)(clo)
+        print(f"arcstep jit {time.time()-t0:.0f}s; towers "
+              f"s={s.ring.nlimbs} s3={s3.ring.nlimbs} t3={t3.ring.nlimbs}",
+              flush=True)
+        cheb = B.sine_cheb_coeffs(K, deg)
+        sp = np.polynomial.chebyshev.chebval(np.real(vlo) / K, cheb)
+        c3 = (2.0 * math.pi) ** 2 / 6.0
+        for name, ct, want in (("s", s, sp), ("s2", s2, sp ** 2),
+                               ("s3", s3, sp ** 3), ("t3", t3, c3 * sp ** 3),
+                               ("t1", t1, sp)):
+            zz = F.decrypt(kp, ct)
+            e = np.abs(zz - want)
+            print(f"  {name}: max dev {e.max():.3e} mean {e.mean():.3e} "
+                  f"edges [0]={e[0]:.3e} [1]={e[1]:.3e} [-1]={e[-1]:.3e}",
+                  flush=True)
+        return
+
+    if "--rescale" in sys.argv:
+        # isolate the alignment machinery: fresh ct dropped to the
+        # arcsin-depth tower, then (a) one ct_rescale, (b) a 6-limb
+        # ct_to at r = 2^52 — no EvalMod involved at all
+        from toyfhe_tpu.core import ckks_encoding as CE2
+        import math as _m
+        c25 = CE2.ct_drop_to(clo, 25)
+        dropped = _m.prod(c25.ring.primes[19:25])
+        target = Fraction(2) ** 52 * Fraction(c25.enc.scale) / dropped
+
+        def steps(c_):
+            r1 = rlwe.ct_rescale(c_)
+            r2 = rlwe.ct_rescale(r1)
+            t = CE2.ct_to(c_, 19, target)
+            return r1, r2, t
+        t0 = time.time()
+        r1, r2, t = jax.jit(steps)(c25)
+        print(f"rescale probe jit {time.time()-t0:.0f}s", flush=True)
+        for name, ct in (("rescale1", r1), ("rescale2", r2),
+                         ("ct_to19", t)):
+            zz = F.decrypt(kp, ct)
+            e = np.abs(zz - vlo)
+            print(f"  {name}: max dev {e.max():.3e} mean {e.mean():.3e} "
+                  f"edges [0]={e[0]:.3e} [1]={e[1]:.3e} [-1]={e[-1]:.3e}",
+                  flush=True)
+        return
 
     if "--trace" in sys.argv:
         # abstract trace only: runs all host-side scale algebra (and the

@@ -331,9 +331,24 @@ def _rescale_k(c: CipherText, k: int) -> CipherText:
     (scale ≈ product of k limb primes). With ~29-bit TPU-friendly limbs
     a single prime cannot hold a production-precision scale; k = 2 gives
     scale ≈ 2^54-58 and restores the precision headroom the S2C gain
-    chain needs at N ≥ 2^11 (docs/bootstrap.md)."""
+    chain needs at N ≥ 2^11 (docs/bootstrap.md).
+
+    Guard: the composite equilibrium scale' = scale²/pair DOUBLES any
+    log-deficit per multiplicative level, so an unbalanced tower (pairs
+    systematically above 2^(26k)) silently collapses the working scale —
+    at 2^13 the modswitch rounding bias (an all-ones polynomial, decode
+    spiking 1/g at the slot-orbit wrap) destroys the refresh (the
+    round-3 N=2^13 failure). Fail loudly instead; the fix is
+    :func:`make_boot_ring`'s balanced level pairs."""
     for _ in range(k):
         c = rlwe.ct_rescale(c)
+    s = getattr(c.enc, "scale", None)
+    if s is not None and 0 < s < (1 << max(1, 26 * k - 12)):
+        raise ValueError(
+            f"composite working scale collapsed to 2^"
+            f"{math.log2(float(s)):.1f} (level-pair drift compounds "
+            f"geometrically); build the tower with balanced level pairs "
+            f"(bootstrap.make_boot_ring)")
     return c
 
 
@@ -685,6 +700,33 @@ def _arcsin_correct_from_sin(ek, v: CipherText, sl: int = 1) -> CipherText:
     t1 = _plain_term(v, 1.0 / (2.0 * math.pi),
                      t3.ring.nlimbs, t3.enc.scale, sl)
     return rlwe.ct_add(t1, t3)
+
+
+def make_boot_ring(n: int, L: int = 46, num_special: int = 11,
+                   base_bits: int = 29, level_bits: int = 26,
+                   special_bits: int = 29):
+    """Composite-scale bootstrap tower with BALANCED level pairs:
+    (base, base) + L level limbs in (above, below)-2^level_bits pairs +
+    num_special raising primes.
+
+    The balanced pairing (numtheory.balanced_pair_primes) is what makes
+    the production-N refresh numerically possible: the composite-scale
+    equilibrium scale' = scale²/pair doubles any log-deficit per
+    multiplicative level, and the reference-style upward prime walk at
+    N=2^13 starts with deficits large enough (pairs up to 1.21×·2^52)
+    to collapse the working scale to 2^13 inside EvalMod — the root
+    cause of the round-3 N=2^13 bootstrap failure. With balanced pairs
+    the deficit stays ≲1e-2 bits through the whole pipeline."""
+    from . import ring as R_
+    from ..utils import numtheory as nt
+
+    if L % 2:
+        raise ValueError("composite tower needs an even level-limb count")
+    bs = nt.ntt_prime_chain(
+        n, (base_bits, base_bits) + (special_bits,) * num_special)
+    base, spec = bs[:2], bs[2:]
+    levels = nt.balanced_pair_primes(n, L // 2, level_bits, avoid=bs)
+    return R_.RingContext(n, tuple(base) + tuple(levels) + tuple(spec))
 
 
 def setup_bootstrap(rng, priv, K: float = 5.0, deg: int = 46,

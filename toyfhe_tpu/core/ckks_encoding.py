@@ -257,6 +257,16 @@ def ct_to(c: CipherText, nlimbs: int, scale: ScaleLike) -> CipherText:
         cj = ct_drop_to(c, nlimbs + j)
         r = scale * math.prod(cj.ring.primes[-j:]) / cur
         if r >= (1 << 8) or (j == avail and r >= 2):
+            if os.environ.get("TOYFHE_DEBUG_SCALES"):
+                import math as _m
+                inter = [float(cur * r)] + [
+                    float(cur * r / _m.prod(cj.ring.primes[-i:]))
+                    for i in range(1, j + 1)]
+                print(f"[scales] ct_to: {c.ring.nlimbs}->{nlimbs} limbs "
+                      f"j={j} log2r={float(_m.log2(r)):.1f} "
+                      f"log2 intermediate scales="
+                      f"{[round(_m.log2(max(s_, 1e-300)), 1) for s_ in inter]}",
+                      flush=True)
             c = mul_plain_scalar_at(cj, 1.0, r)
             for _ in range(j):
                 c = rlwe.ct_rescale(c)

@@ -1019,6 +1019,13 @@ def ct_rescale(c: CipherText) -> CipherText:
         enc = (c.enc.rescale_by(ring.primes[-1])
                if c.enc is not None and hasattr(c.enc, "rescale_by")
                else c.enc)
+    import os as _os
+    if (_os.environ.get("TOYFHE_DEBUG_SCALES") and enc is not None
+            and hasattr(enc, "scale") and 0 < enc.scale < (1 << 40)):
+        import math as _m
+        print(f"[scales] ct_rescale SMALL post-scale: "
+              f"log2={_m.log2(float(enc.scale)):.1f} "
+              f"tower {ring.nlimbs}->{ring.nlimbs-1}", flush=True)
     return CipherText(c.params, tuple(cs), sub, enc=enc)
 
 

@@ -599,11 +599,13 @@ def fhe_setup_bootstrapped(cfg: MNISTConfig, rng, depth: int = 12,
         # tools/bench_bootstrap.py sl=2): 2×29-bit base, 26-bit level
         # limbs, hybrid dnum gadget with alpha+1 29-bit raising primes,
         # factored transforms + double-angle EvalMod set by the caller
-        tower = (29, 29) + (26,) * depth
         scale_log2 = 26
         dnum = max(1, (depth + 2) // 5)
         k = -(-(depth + 2) // dnum) + 1
-        ring = F.make_rns_ring(1 << cfg.ring_logn, tower + (29,) * k)
+        # BALANCED 26-bit level pairs (make_boot_ring): the composite
+        # scale²/pair equilibrium is unstable, so pair products must
+        # straddle 2^52 — the N=2^13 refresh root-cause fix
+        ring = B.make_boot_ring(1 << cfg.ring_logn, L=depth, num_special=k)
         params = F.HybridRaised(
             F.CKKSParams(ring, 0, 3.2, secret="sparse",
                          hamming_weight=hamming_weight), dnum, k)
