@@ -75,20 +75,36 @@ def main():
 
     state = {}
 
+    # At production N the whole-refresh program passes the upload limit
+    # (row-view tables) but can OOM the remote compile helper — the
+    # successful N=2^13 runs all went through the three-program PHASED
+    # replay (docs/performance.md round-3/4 table). Default it on there.
+    phased = os.environ.get(
+        "TOYFHE_BOOT_PHASED", "1" if logn >= 12 else "0") == "1"
+
     def refresh_fn(c):
         if "fn" not in state:
             t1 = time.time()
             os.environ["TOYFHE_NTT_IMPL"] = "radix2"
             with jax.default_device(cpu):
-                items = B.trace_plain_cache(host(ctx), host(c))
+                if phased:
+                    i1, i2, i3, _ = B.trace_plain_cache_phased(
+                        host(ctx), host(c))
+                    items = (i1, i2, i3)
+                    state["fn"] = B.jit_bootstrap_replay_phased(
+                        host(ctx), host(c))
+                else:
+                    items = B.trace_plain_cache(host(ctx), host(c))
+                    state["fn"] = B.jit_bootstrap_replay()
             os.environ.pop("TOYFHE_NTT_IMPL", None)
-            items = [np.asarray(x) for x in items]
-            mb = sum(x.nbytes for x in items) / 1e6
-            print(f"refresh record (cpu trace): {time.time()-t1:.0f}s "
-                  f"({len(items)} diagonal tensors, {mb:.0f} MB)",
+            items = jax.tree_util.tree_map(np.asarray, items)
+            leaves = jax.tree_util.tree_leaves(items)
+            mb = sum(x.nbytes for x in leaves) / 1e6
+            print(f"refresh record (cpu trace{' phased' if phased else ''}):"
+                  f" {time.time()-t1:.0f}s "
+                  f"({len(leaves)} diagonal tensors, {mb:.0f} MB)",
                   flush=True)
             state["items"] = jax.device_put(items)
-            state["fn"] = B.jit_bootstrap_replay()
         t1 = time.time()
         out = state["fn"](ctx_dev, c, state["items"])
         arr = out.cs[0].dual if out.cs[0].dual is not None \

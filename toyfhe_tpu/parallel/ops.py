@@ -550,7 +550,7 @@ def _repl_table_specs() -> dict:
     }
 
 
-def make_hybrid_fused_step(params, ek, ct_ring=None):
+def make_hybrid_fused_step(params, ek, ct_ring=None, merge_calls=True):
     """Single-chip square → hybrid relinearize → rescale with the FUSED
     transform schedule (round-2 VERDICT item 2) — bit-identical to
     ``make_hybrid_sharded_step(None, ...)`` and to the eager engine, but
@@ -609,6 +609,26 @@ def make_hybrid_fused_step(params, ek, ct_ring=None):
         grp_out.append((jnp.asarray(out_idx),
                         exp_ring.select(out_idx).tables))
 
+    # merged-call schedule (round-4 VERDICT item 4 — "batch limb rows
+    # across ops into fewer pallas_calls"): the FBC computes ONLY the
+    # out-of-group rows (the in-group rows were discarded by the
+    # jnp.take above — ≈ L/(dnum·T) wasted VPU work), every group's
+    # digit NTT rides ONE row-view call (rows repeat across groups; the
+    # view gathers the same root table row again), and the k-special +
+    # last-data-row INTTs merge into one call. Bit-identical: per-row
+    # transforms and the mod_sum orderings are unchanged.
+    grp_fbc, all_out, seg = [], [], []
+    for (lo, hi), g in zip(bounds, eng_groups):
+        oidx = list(range(lo)) + list(range(hi, T))
+        seg.append((len(all_out), len(oidx)))
+        all_out += oidx
+        mp_o = exp_ring.mp.select(oidx)
+        grp_fbc.append((jnp.asarray(np.asarray(g[2])[np.asarray(oidx)]),
+                        mp_o, mp_o.expand()))
+    cat_tabs = exp_ring.select(tuple(all_out)).tables
+    mix_tabs = exp_ring.select(
+        tuple(range(L, T)) * 2 + (L - 1,) * 4).tables
+
     # --- fold constants (all Montgomery columns) ---
     mcol = lambda vals, ps: jnp.asarray(np.array(
         [[int(v) * (1 << 32) % p] for v, p in zip(vals, ps)],
@@ -646,17 +666,33 @@ def make_hybrid_fused_step(params, ek, ct_ring=None):
         # --- digits: FBC + NTT of out-of-group rows, d3 rows in-group ---
         d3p = nttmod.intt(ct_ring.tables, d3)               # [B, L, N]
         y = modmath.mont_mul(d3p, yinv, mp_ct)
-        mpe3 = mp_exp.expand()
-        digs = []
-        for (lo, hi), cj, (oidx, otabs) in zip(bounds, gconsts, grp_out):
-            yi = y[..., None, lo:hi, :]                     # [B, 1, a_j, N]
-            prod = modmath.mont_mul(yi, cj, mpe3)
-            dj = modmath.mod_sum(prod, mp_exp, axis=-2)     # [B, T, N]
-            res = nttmod.ntt(otabs, jnp.take(dj, oidx, axis=-2))
-            digs.append(jnp.concatenate(
-                [res[..., :lo, :], d3[..., lo:hi, :], res[..., lo:, :]],
-                axis=-2))
-        digs = jnp.stack(digs, axis=-3)                     # [B, ndig, T, N]
+        if merge_calls:
+            mfbc = []
+            for (lo, hi), (cj_o, mp_o, mp_o3) in zip(bounds, grp_fbc):
+                yi = y[..., None, lo:hi, :]                 # [B, 1, a_j, N]
+                prod = modmath.mont_mul(yi, cj_o, mp_o3)
+                mfbc.append(modmath.mod_sum(prod, mp_o, axis=-2))
+            res_all = nttmod.ntt(cat_tabs,
+                                 jnp.concatenate(mfbc, axis=-2))
+            digs = []
+            for (lo, hi), (off, ln) in zip(bounds, seg):
+                res = res_all[..., off:off + ln, :]
+                digs.append(jnp.concatenate(
+                    [res[..., :lo, :], d3[..., lo:hi, :],
+                     res[..., lo:, :]], axis=-2))
+            digs = jnp.stack(digs, axis=-3)                 # [B, ndig, T, N]
+        else:
+            mpe3 = mp_exp.expand()
+            digs = []
+            for (lo, hi), cj, (oidx, otabs) in zip(bounds, gconsts, grp_out):
+                yi = y[..., None, lo:hi, :]                 # [B, 1, a_j, N]
+                prod = modmath.mont_mul(yi, cj, mpe3)
+                dj = modmath.mod_sum(prod, mp_exp, axis=-2)  # [B, T, N]
+                res = nttmod.ntt(otabs, jnp.take(dj, oidx, axis=-2))
+                digs.append(jnp.concatenate(
+                    [res[..., :lo, :], d3[..., lo:hi, :], res[..., lo:, :]],
+                    axis=-2))
+            digs = jnp.stack(digs, axis=-3)                 # [B, ndig, T, N]
         acc1 = modmath.mod_sum(modmath.mul_mod(digs, kd, mp_exp), mp_exp,
                                axis=-3)
         acc2 = modmath.mod_sum(modmath.mul_mod(digs, km, mp_exp), mp_exp,
@@ -665,7 +701,18 @@ def make_hybrid_fused_step(params, ek, ct_ring=None):
         d12 = jnp.stack([d1, d2], axis=1)                   # [B, 2, L, N]
 
         # --- fused ModDown lifts from the special rows only ---
-        sp = nttmod.intt(sp_ring.tables, acc[..., L:, :])   # [B, 2, k, N]
+        if merge_calls:
+            # one INTT over [sp rows]×2 comps + the last data row ×4
+            B = acc.shape[0]
+            mix_in = jnp.concatenate(
+                [acc[..., L:, :].reshape(B, 2 * k, -1),
+                 acc[..., L - 1:L, :].reshape(B, 2, -1),
+                 d12[..., L - 1:L, :].reshape(B, 2, -1)], axis=-2)
+            mix_p = nttmod.intt(mix_tabs, mix_in)
+            sp = mix_p[..., : 2 * k, :].reshape(acc.shape[:1] + (2, k, -1))
+            last_p = mix_p[..., 2 * k:, :][..., :, None, :]  # [B, 4, 1, N]
+        else:
+            sp = nttmod.intt(sp_ring.tables, acc[..., L:, :])  # [B, 2, k, N]
         lifts = []
         for s in range(k):
             l = sp[..., -1:, :]
@@ -678,9 +725,10 @@ def make_hybrid_fused_step(params, ek, ct_ring=None):
                     dinvs[s], mp_rem)
 
         # --- l_0: raw residue of (acc/P + d) mod q_L, one-row INTT ---
-        last_in = jnp.concatenate(
-            [acc[..., L - 1:L, :], d12[..., L - 1:L, :]], axis=1)
-        last_p = nttmod.intt(last_ring.tables, last_in)     # [B, 4, 1, N]
+        if not merge_calls:
+            last_in = jnp.concatenate(
+                [acc[..., L - 1:L, :], d12[..., L - 1:L, :]], axis=1)
+            last_p = nttmod.intt(last_ring.tables, last_in)  # [B, 4, 1, N]
         accL, dL = last_p[:, :2], last_p[:, 2:]
         bL = modmath.mont_mul(accL, pinv_L, mp_last)
         for s in range(k):
