@@ -18,3 +18,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
+
+# Persistent XLA compilation cache: the default tier's wall time is
+# dominated by thousands of small CPU jit compiles (engine primitives
+# per tower shape), so cache them across runs — measured 2.2× on warm
+# reruns (55.5s → 24.8s for test_reference_vectors alone). Thresholds
+# zeroed because almost every compile here is individually below the
+# 1s/default-size cutoffs. Respect an explicit env override.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without the knobs — run uncached
+    pass
