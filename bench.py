@@ -279,6 +279,14 @@ def child_main():
         fks_per_s, fks_t, fks_sp = _bench_keyswitch_fused()
     except Exception:
         fks_per_s, fks_t, fks_sp = float("nan"), float("nan"), nansp
+    # round-4 gadget plan: dnum=2, α=4, k=4 — 46-transform fused census
+    # (vs 61) and dnum·T = 22 key-contraction rows (vs 40); measured
+    # 1.35× vs the dnum=4 fused step same-session at equal noise
+    # (tools/bench_merged_ks.py, docs/performance.md)
+    try:
+        d2_per_s, d2_t, d2_sp = _bench_keyswitch_fused(dnum=2, k=4)
+    except Exception:
+        d2_per_s, d2_t, d2_sp = float("nan"), float("nan"), nansp
 
     base_path = os.path.join(_HERE, "BENCH_BASELINE.json")
     record = {"ntt_per_s": ntt_per_s, "keyswitch_per_s": ks_per_s,
@@ -306,16 +314,19 @@ def child_main():
             "keyswitch_per_s": [_num(v, 2) for v in ks_sp],
             "hybrid_keyswitch_per_s": [_num(v, 2) for v in hks_sp],
             "fused_keyswitch_per_s": [_num(v, 2) for v in fks_sp],
+            "fused_keyswitch_dnum2_per_s": [_num(v, 2) for v in d2_sp],
             "method": "min/max of 3 interleaved same-session rep-group "
                       "slopes; session-to-session tunnel variance is "
                       "larger (docs/performance.md)"},
         "keyswitch_per_s": _num(ks_per_s, 2),
         "hybrid_keyswitch_per_s": _num(hks_per_s, 2),
         "fused_keyswitch_per_s": _num(fks_per_s, 2),
+        "fused_keyswitch_dnum2_per_s": _num(d2_per_s, 2),
         "ntt_batch_ms": _num(ntt_t * 1e3, 3),
         "keyswitch_step_ms": _num(ks_t * 1e3, 3),
         "hybrid_keyswitch_step_ms": _num(hks_t * 1e3, 3),
         "fused_keyswitch_step_ms": _num(fks_t * 1e3, 3),
+        "fused_keyswitch_dnum2_step_ms": _num(d2_t * 1e3, 3),
         "backend": backend,
     }
     print(json.dumps(out), flush=True)

@@ -58,17 +58,21 @@ class MNISTConfig:
     # surviving bottom limbs (2^84) cover the final scale²·value range,
     # primes < 2^30 enable Harvey lazy butterflies everywhere, and the
     # last ``num_special`` limbs are the raising primes (29-bit requests
-    # so P ≈ 2^87 ≥ α·Q_group = 3·2^84 — the hybrid digit bound — while
+    # so P ≈ 2^116 ≥ α·Q_group = 4·2^112 — the hybrid digit bound — while
     # the whole expanded tower stays under the 2^30 MXU/lazy gate).
-    limb_bits: Tuple[int, ...] = (28,) * 7 + (29,) * 3
+    limb_bits: Tuple[int, ...] = (28,) * 7 + (29,) * 4
     scale_log2: int = 28   # scale ≈ rescale-limb size keeps scales stable
     # key-switch gadget: "hybrid" (core/hybrid.py dnum-grouped digits —
     # the PRODUCTION key switch: dnum digit batches instead of L, keys
     # dnum/L the size) or "modraise" (one special prime, per-limb digits,
-    # the reference's modulusraising.jl semantics)
+    # the reference's modulusraising.jl semantics). dnum=2/k=4 is the
+    # round-4 plan: 46-transform fused census (vs 61 at dnum=4/k=3) and
+    # half the key-contraction rows — 1.35× same-session on chip
+    # (tools/bench_merged_ks.py) at measured-equal noise (2.24e-3 vs
+    # 2.22e-3 for square→relin→rescale at N=2^12 with real keys).
     gadget: str = "hybrid"
-    dnum: int = 3
-    num_special: int = 3
+    dnum: int = 2
+    num_special: int = 4
 
     @property
     def positions(self) -> int:            # conv output positions per image
