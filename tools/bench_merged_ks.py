@@ -28,9 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _slope(fn, x, L, k_long=7, k_short=1, reps=7):
+def _chains(fn, x, L, k_long=7, k_short=1):
     import jax
-    import jax.numpy as jnp
 
     def chain(k):
         @jax.jit
@@ -43,14 +42,27 @@ def _slope(fn, x, L, k_long=7, k_short=1, reps=7):
 
     jl, js = chain(k_long), chain(k_short)
     np.asarray(jl(x)); np.asarray(js(x))      # compile both
-    tl, ts = [], []
+    return js, jl, x, k_long - k_short
+
+
+def _slopes_interleaved(flavors, reps=9):
+    """Time ALL flavors inside one rep loop, round-robin, so a tunnel
+    drift on the minutes scale hits every flavor equally — sequential
+    per-flavor timing measured a 6× phantom ratio on a volatile session
+    (2026-08-21). Returns min-estimator slope per flavor."""
+    times = {name: ([], []) for name, _ in flavors}
     for r in range(reps):
-        order = ((js, ts), (jl, tl)) if r % 2 == 0 else ((jl, tl), (js, ts))
-        for f, acc in order:
-            t0 = time.perf_counter()
-            np.asarray(f(x))
-            acc.append(time.perf_counter() - t0)
-    return (min(tl) - min(ts)) / (k_long - k_short)
+        for name, (js, jl, x, _) in flavors:
+            order = ((js, 0), (jl, 1)) if r % 2 == 0 else ((jl, 1), (js, 0))
+            for f, slot in order:
+                t0 = time.perf_counter()
+                np.asarray(f(x))
+                times[name][slot].append(time.perf_counter() - t0)
+    out = {}
+    for name, (_, _, _, dk) in flavors:
+        ts, tl = times[name]
+        out[name] = (min(tl) - min(ts)) / dk
+    return out
 
 
 def main():
@@ -76,14 +88,6 @@ def main():
     assert np.array_equal(y0, y1), "merged schedule diverged on device"
     print("bit-equal on device OK", flush=True)
 
-    t1 = _slope(s_v1, cts, L)
-    t2 = _slope(s_v2, cts, L)
-    print(f"fused (r3, 6 call sites):  {t1 * 1e3:.3f} ms/step  "
-          f"({batch / t1:.0f} ct/s)", flush=True)
-    print(f"merged  (4 call sites):    {t2 * 1e3:.3f} ms/step  "
-          f"({batch / t2:.0f} ct/s)", flush=True)
-    print(f"ratio: {t1 / t2:.3f}x", flush=True)
-
     # --- alternative gadget plan: dnum=2, α=4, k=4 specials ---
     # Same keyswitch job (L-limb relinearize), different hybrid plan:
     # transform census 61 → 46 and the key-contraction/FBC elementwise
@@ -93,7 +97,16 @@ def main():
     p2, e2, c2 = bench._make_hybrid_fixture(batch, L, 1 << logn, 2, 4)
     s_d2, _ = pops.make_hybrid_fused_step(p2, e2, merge_calls=True)
     np.asarray(s_d2(c2))
-    t3 = _slope(s_d2, c2, L)
+
+    flavors = [("fused_r3", _chains(s_v1, cts, L)),
+               ("merged", _chains(s_v2, cts, L)),
+               ("merged_dnum2", _chains(s_d2, c2, L))]
+    sl = _slopes_interleaved(flavors)
+    t1, t2, t3 = sl["fused_r3"], sl["merged"], sl["merged_dnum2"]
+    print(f"fused (r3, 6 call sites):  {t1 * 1e3:.3f} ms/step  "
+          f"({batch / t1:.0f} ct/s)", flush=True)
+    print(f"merged  (4 call sites):    {t2 * 1e3:.3f} ms/step  "
+          f"({batch / t2:.0f} ct/s)  [{t1 / t2:.3f}x]", flush=True)
     print(f"merged dnum=2 k=4 (46-transform census): {t3 * 1e3:.3f} "
           f"ms/step  ({batch / t3:.0f} ct/s)  [{t1 / t3:.3f}x vs r3 "
           f"fused]", flush=True)

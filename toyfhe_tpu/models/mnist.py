@@ -66,10 +66,12 @@ class MNISTConfig:
     # the PRODUCTION key switch: dnum digit batches instead of L, keys
     # dnum/L the size) or "modraise" (one special prime, per-limb digits,
     # the reference's modulusraising.jl semantics). dnum=2/k=4 is the
-    # round-4 plan: 46-transform fused census (vs 61 at dnum=4/k=3) and
-    # half the key-contraction rows — 1.35× same-session on chip
-    # (tools/bench_merged_ks.py) at measured-equal noise (2.24e-3 vs
-    # 2.22e-3 for square→relin→rescale at N=2^12 with real keys).
+    # round-4 plan: 46-transform fused census (vs 61 at dnum=4/k=3),
+    # half the key-contraction rows and ~45% smaller keys — ≈1.23×
+    # same-session on chip with the merged schedule
+    # (tools/bench_merged_ks.py, long-chain interleaved A/B) at
+    # measured-equal noise (2.24e-3 vs 2.22e-3 for
+    # square→relin→rescale at N=2^12 with real keys).
     gadget: str = "hybrid"
     dnum: int = 2
     num_special: int = 4
