@@ -59,7 +59,7 @@ def _watchdog_smoke(timeout_s=240.0):
 
 
 def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
-                max_tries=3, trials=3):
+                max_tries=3, trials=3, sol_time=None, pass_gap_s=1.5):
     """Min-estimator chained-jit slope, with a same-session spread.
 
     Tunnel noise is strictly additive (queueing, link stalls, tenant
@@ -69,10 +69,19 @@ def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
     still produce a non-positive slope; retry with a longer chain
     instead of reporting a floor value that reads as absurd throughput.
 
+    Round-5 hardening (VERDICT r4 item 6): the reps run as TWO spaced
+    passes so a single transient tunnel stall cannot cover every
+    measurement, and subgroup slopes that are non-positive or below the
+    physical speed-of-light floor (``sol_time``, seconds per chain unit
+    from the docs/performance.md MFU model) are discarded from the
+    spread instead of inverting into absurd throughput bounds (the
+    r04 209,823/s artifact). If every subgroup is unphysical the spread
+    collapses to the headline.
+
     Returns ``(slope, (lo, hi))``: the headline slope uses the min over
     ALL reps (the best estimator under additive noise); (lo, hi) are the
-    min/max of ``trials`` per-group slopes computed from interleaved rep
-    subsets — a zero-extra-cost measure of how much the tunnel moved
+    min/max of the surviving per-group slopes computed from interleaved
+    rep subsets — a zero-extra-cost measure of how much the tunnel moved
     within this session (round-3 VERDICT item 5: the absolute number is
     only evidence with its spread attached)."""
     for attempt in range(max_tries):
@@ -80,18 +89,25 @@ def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
         np.asarray(f_small(*args))
         np.asarray(f_big(*args))
         ts, tb = [], []
-        for r in range(reps):
-            pair = (((f_small, ts), (f_big, tb)) if r % 2 == 0
-                    else ((f_big, tb), (f_small, ts)))
-            for f, acc in pair:
-                t0 = time.perf_counter()
-                np.asarray(f(*args))
-                acc.append(time.perf_counter() - t0)
+        for p in range(2):                       # two spaced passes
+            if p:
+                time.sleep(pass_gap_s)
+            for r in range(reps):
+                pair = (((f_small, ts), (f_big, tb)) if r % 2 == 0
+                        else ((f_big, tb), (f_small, ts)))
+                for f, acc in pair:
+                    t0 = time.perf_counter()
+                    np.asarray(f(*args))
+                    acc.append(time.perf_counter() - t0)
         dk = k_big - k_small
         slope = (min(tb) - min(ts)) / dk
         if slope > 0:
             g = max(1, min(trials, reps))
             sub = [(min(tb[i::g]) - min(ts[i::g])) / dk for i in range(g)]
+            floor = sol_time if sol_time else 0.0
+            sub = [s for s in sub if s > floor]   # physical sanity filter
+            if not sub:
+                sub = [slope]
             return slope, (min(sub), max(sub))
         k_big = k_small + 2 * (k_big - k_small)
     return float("nan"), (float("nan"), float("nan"))
@@ -99,11 +115,14 @@ def _slope_time(build_chain, args, k_small=2, k_big=18, reps=9,
 
 def _per_s_spread(work, tspread):
     """Convert a (lo, hi) slope-time spread into a throughput spread
-    (order flips: the slowest time is the lowest rate)."""
+    (order flips: the slowest time is the lowest rate). Non-positive or
+    non-finite slope bounds yield NaN (serialized as null) rather than
+    negative throughput (ADVICE r4)."""
     lo_t, hi_t = tspread
-    vals = sorted([work / hi_t, work / lo_t]) if hi_t and lo_t else \
-        [float("nan"), float("nan")]
-    return vals
+    if not (np.isfinite(lo_t) and np.isfinite(hi_t)
+            and lo_t > 0 and hi_t > 0):
+        return [float("nan"), float("nan")]
+    return sorted([work / hi_t, work / lo_t])
 
 
 def _bench_ntt(batch=16, L=8, n=1 << 14):
@@ -125,7 +144,8 @@ def _bench_ntt(batch=16, L=8, n=1 << 14):
             return a
         return f
 
-    t, sp = _slope_time(chain, (x,))
+    # speed-of-light floor: 2.94M limb-NTT/s/chip (docs/performance.md)
+    t, sp = _slope_time(chain, (x,), sol_time=batch * L / 2.94e6)
     return batch * L / t, t, _per_s_spread(batch * L, sp)
 
 
@@ -172,7 +192,9 @@ def _bench_keyswitch(batch=4, L=7, n=1 << 13):
             return c
         return f
 
-    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    # speed-of-light floor: 82k transform-bound steps/s (docs/performance.md)
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7,
+                        sol_time=batch / 82e3)
     return batch / t, t, _per_s_spread(batch, sp)
 
 
@@ -226,7 +248,9 @@ def _bench_keyswitch_fused(batch=4, L=7, n=1 << 13, dnum=4, k=3):
             return c
         return f
 
-    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    # speed-of-light floor: 82k transform-bound steps/s (docs/performance.md)
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7,
+                        sol_time=batch / 82e3)
     return batch / t, t, _per_s_spread(batch, sp)
 
 
@@ -255,7 +279,9 @@ def _bench_keyswitch_hybrid(batch=4, L=7, n=1 << 13, dnum=4, k=3):
             return c
         return f
 
-    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7)
+    # speed-of-light floor: 82k transform-bound steps/s (docs/performance.md)
+    t, sp = _slope_time(chain, (cts,), k_small=1, k_big=7,
+                        sol_time=batch / 82e3)
     return batch / t, t, _per_s_spread(batch, sp)
 
 
@@ -279,10 +305,11 @@ def child_main():
         fks_per_s, fks_t, fks_sp = _bench_keyswitch_fused()
     except Exception:
         fks_per_s, fks_t, fks_sp = float("nan"), float("nan"), nansp
-    # round-4 gadget plan: dnum=2, α=4, k=4 — 46-transform fused census
-    # (vs 61) and dnum·T = 22 key-contraction rows (vs 40); measured
-    # 1.35× vs the dnum=4 fused step same-session at equal noise
-    # (tools/bench_merged_ks.py, docs/performance.md)
+    # round-4 gadget default: dnum=2, α=4, k=4 — 46-transform fused
+    # census (vs 61) and dnum·T = 22 key-contraction rows (vs 40) at
+    # equal noise; wall-clock effect is inside tunnel noise
+    # (docs/performance.md round-4 A/B replication) — the claims are
+    # op-count and key-size, not a measured speedup
     try:
         d2_per_s, d2_t, d2_sp = _bench_keyswitch_fused(dnum=2, k=4)
     except Exception:
@@ -315,9 +342,11 @@ def child_main():
             "hybrid_keyswitch_per_s": [_num(v, 2) for v in hks_sp],
             "fused_keyswitch_per_s": [_num(v, 2) for v in fks_sp],
             "fused_keyswitch_dnum2_per_s": [_num(v, 2) for v in d2_sp],
-            "method": "min/max of 3 interleaved same-session rep-group "
-                      "slopes; session-to-session tunnel variance is "
-                      "larger (docs/performance.md)"},
+            "method": "min/max of interleaved same-session rep-group "
+                      "slopes over two spaced passes, non-positive and "
+                      "faster-than-speed-of-light subgroups discarded; "
+                      "session-to-session tunnel variance is larger "
+                      "(docs/performance.md)"},
         "keyswitch_per_s": _num(ks_per_s, 2),
         "hybrid_keyswitch_per_s": _num(hks_per_s, 2),
         "fused_keyswitch_per_s": _num(fks_per_s, 2),

@@ -21,11 +21,23 @@ SMALL = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2, classes=4,
                       limb_bits=(30, 30, 28, 28, 28, 28, 28, 30),
                       scale_log2=28, gadget="modraise")
 
-# the production default gadget (hybrid dnum) at the same small geometry
+# the production default gadget (hybrid dnum=2, num_special=4) at the
+# same small geometry — the tower carries 7 data limbs + 4 raising
+# primes to MATCH the default partition (round-4 regression: a 10-limb
+# tower under num_special=4 silently lost a data limb, L 7→6, and the
+# pipeline decoded garbage; fhe_setup's audit_pipeline_depth now
+# rejects that class of config at setup time)
 SMALL_HYB = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
                           classes=4, ring_logn=9,
-                          limb_bits=(28,) * 7 + (29,) * 3,
+                          limb_bits=(28,) * 7 + (29,) * 4,
                           scale_log2=28)
+
+# regression at the round-3 partition: same 10-limb tower as before,
+# with the gadget pinned EXPLICITLY to the 7+3 split it was built for
+SMALL_HYB_D3 = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
+                             classes=4, ring_logn=9,
+                             limb_bits=(28,) * 7 + (29,) * 3,
+                             scale_log2=28, dnum=3, num_special=3)
 
 
 def test_geometry():
@@ -117,12 +129,36 @@ def test_encrypted_inference_label_agreement():
                           np.argmax(plain_logits, -1))
 
 
+def test_too_short_tower_raises():
+    """A tower whose partition leaves too few data limbs for the
+    pipeline must FAIL at fhe_setup, not decode garbage (the round-4
+    silent-corruption mode: passes P≥α·Q and security guards, errs 67).
+    """
+    import toyfhe_tpu as F
+    bad = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
+                        classes=4, ring_logn=9,
+                        limb_bits=(28,) * 6 + (29,) * 4,   # L=6 < needed
+                        scale_log2=28)
+    with pytest.raises(F.UsageError, match="depth|data limbs"):
+        M.fhe_setup(bad, jax.random.PRNGKey(0))
+    # the exact round-4 failure shape: 10-limb tower, default k=4 → L=6
+    bad2 = M.MNISTConfig(image=14, kernel=5, stride=3, channels=2,
+                         classes=4, ring_logn=9,
+                         limb_bits=(28,) * 7 + (29,) * 3,
+                         scale_log2=28)      # inherits dnum=2, k=4
+    with pytest.raises(F.UsageError, match="depth|data limbs"):
+        M.fhe_setup(bad2, jax.random.PRNGKey(0))
+    # opt-out still available for non-pipeline single-op use
+    M.fhe_setup(bad2, jax.random.PRNGKey(0), audit_depth=False)
+
+
 @pytest.mark.slow
-def test_encrypted_inference_hybrid_gadget():
+@pytest.mark.parametrize("cfg", [SMALL_HYB, SMALL_HYB_D3],
+                         ids=["dnum2_k4_default", "dnum3_k3_regression"])
+def test_encrypted_inference_hybrid_gadget(cfg):
     """End-to-end inference on the PRODUCTION (hybrid dnum) gadget —
     the default serving configuration: label agreement with the
     plaintext model at the scaled-down geometry."""
-    cfg = SMALL_HYB
     assert M.fhe_setup(cfg, jax.random.PRNGKey(0)).params.dnum == cfg.dnum
     kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
     params, _ = M.train(cfg, kt, steps=80)

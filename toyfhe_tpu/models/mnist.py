@@ -66,12 +66,12 @@ class MNISTConfig:
     # the PRODUCTION key switch: dnum digit batches instead of L, keys
     # dnum/L the size) or "modraise" (one special prime, per-limb digits,
     # the reference's modulusraising.jl semantics). dnum=2/k=4 is the
-    # round-4 plan: 46-transform fused census (vs 61 at dnum=4/k=3),
-    # half the key-contraction rows and ~45% smaller keys — ≈1.23×
-    # same-session on chip with the merged schedule
-    # (tools/bench_merged_ks.py, long-chain interleaved A/B) at
-    # measured-equal noise (2.24e-3 vs 2.22e-3 for
-    # square→relin→rescale at N=2^12 with real keys).
+    # round-4 default: 46-transform fused census (vs 61 at dnum=4/k=3),
+    # half the key-contraction rows and ~45% smaller keys at
+    # measured-equal noise (2.24e-3 vs 2.22e-3 for square→relin→rescale
+    # at N=2^12 with real keys). Wall-clock effect is inside tunnel
+    # noise on this link (docs/performance.md round-4 A/B replication):
+    # the claims are op-count and key-size, not a measured speedup.
     gadget: str = "hybrid"
     dnum: int = 2
     num_special: int = 4
@@ -358,13 +358,60 @@ class FHESetup:
     scale: Fraction
 
 
-def fhe_setup(cfg: MNISTConfig, rng) -> FHESetup:
+# Rescale levels the encrypted_inference circuit consumes: conv,
+# square1, dense1, square2 (infer.jl:129-167 — the reference's 4
+# modswitches). dense2 decodes UN-rescaled at scale², so the surviving
+# tower must still cover 2·|logit|·scale².
+PIPELINE_RESCALES = 4
+
+
+def audit_pipeline_depth(cfg: MNISTConfig, params, scale: Fraction,
+                         value_margin_bits: int = 10) -> None:
+    """Level accounting for the MNIST circuit: raise loudly at setup
+    time when the ct tower (AFTER the gadget partition takes its
+    raising primes) is too short for the pipeline's rescale consumption
+    plus the final-scale decode range.
+
+    This guard exists because a silently re-partitioned tower (e.g. a
+    ``num_special`` default change stealing a data limb) passes every
+    algebraic guard (P ≥ α·Q_group, security) yet decodes garbage —
+    the round-4 SMALL_HYB failure mode. Depth must be checked against
+    the circuit, not only the gadget."""
+    import math as _math
+
+    ring = params.ring_cipher                 # ct tower, specials removed
+    L = ring.nlimbs
+    k = getattr(params, "num_special", 1)
+    if L <= PIPELINE_RESCALES:
+        raise F.UsageError(
+            f"MNIST pipeline needs {PIPELINE_RESCALES} rescales but the ct "
+            f"tower has only L={L} data limbs (full tower "
+            f"{len(cfg.limb_bits)} limbs minus {k} raising primes). "
+            f"Add data limbs or reduce num_special.")
+    surviving = _math.prod(ring.primes[:L - PIPELINE_RESCALES])
+    final_scale = scale * scale               # dense2 output, un-rescaled
+    need = final_scale * (1 << value_margin_bits)
+    if surviving < need:
+        have_bits = _math.log2(surviving)
+        raise F.UsageError(
+            f"MNIST pipeline depth check failed: after {PIPELINE_RESCALES} "
+            f"rescales the surviving modulus is 2^{have_bits:.1f} but the "
+            f"final decode needs ≥ 2^{float(_math.log2(need)):.1f} "
+            f"(scale² · 2^{value_margin_bits} margin). The ct tower is "
+            f"L={L} data limbs after {k} raising primes — a partition "
+            f"change (dnum/num_special) likely stole a data limb. "
+            f"Full tower bits: {cfg.limb_bits}.")
+
+
+def fhe_setup(cfg: MNISTConfig, rng, audit_depth: bool = True) -> FHESetup:
     ring = F.make_rns_ring(1 << cfg.ring_logn, cfg.limb_bits)
     if cfg.gadget == "hybrid":
         params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), cfg.dnum,
                                 cfg.num_special)
     else:
         params = F.ModulusRaised(F.CKKSParams(ring, 0, 3.2))
+    if audit_depth:
+        audit_pipeline_depth(cfg, params, Fraction(2) ** cfg.scale_log2)
     ks = jax.random.split(rng, 3)
     kp = F.keygen(params, ks[0])
     ek = F.keygen_eval_mult(ks[1], kp.priv)
