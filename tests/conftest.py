@@ -25,10 +25,32 @@ assert jax.default_backend() == "cpu"
 # reruns (55.5s → 24.8s for test_reference_vectors alone). Thresholds
 # zeroed because almost every compile here is individually below the
 # 1s/default-size cutoffs. Respect an explicit env override.
+#
+# The default dir is keyed by a host-architecture discriminator (ADVICE
+# r4): XLA AOT entries embed the compiling host's CPU features, so a
+# checkout shared between machines (containers, network volumes) could
+# load entries compiled for another host's ISA and SIGILL. machine() +
+# a cheap CPU-flags hash keeps each host in its own subdirectory.
+def _host_tag():
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    feats = ln
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(feats.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{h}"
+
+
 _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+                 ".jax_cache", _host_tag()))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -777,7 +777,7 @@ def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
 # ---------------------------------------------------------------------------
 
 def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
-                             dual_flow=None):
+                             dual_flow=None, mesh=None):
     """Build the compiled serving pipeline ONCE (layer jits, weight/diag
     encodings) and return ``run(batch, rng) -> logits``. Re-calling
     ``run`` reuses every compiled program — the warm path is the serving
@@ -797,7 +797,20 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
     (``parallel.ops.make_hybrid_fused_step``: in-group digit reuse +
     dual-domain ModDown). Bit-identical to the primal flow. Default
     (None): auto-enabled for HybridRaised params with BSGS dense layers
-    — the production serving configuration."""
+    — the production serving configuration.
+
+    ``mesh`` (SURVEY §7 stage 8 — the SHARDED serving pipeline): a
+    ``jax.sharding.Mesh`` with axes ('dp', 'rp'). Inter-layer
+    ciphertexts are committed to the mesh — the grid/channel axis on
+    'dp' (ciphertext/batch parallelism, infer.jl:115-124's 49-ct grid)
+    and the RNS limb axis on 'rp' (residue parallelism, crt.jl:247-275)
+    — so every compiled layer (conv, fused squares, BSGS dense matmuls
+    with hoisted rotate_many/rotate_sum, bias-rescales) partitions via
+    XLA GSPMD, which inserts the collectives at the cross-limb sites
+    (FBC digit gather, ModDown correction broadcast). All pipeline
+    arithmetic is exact modular integer math and the reduction trees
+    are sharding-invariant, so the sharded pipeline is BIT-IDENTICAL to
+    the single-device one (asserted in tests/test_sharded_pipeline.py)."""
     from fractions import Fraction as Fr
 
     from ..core import ring as ringops
@@ -812,6 +825,26 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
                       or gks_bsgs is None):
         raise ValueError("dual_flow requires HybridRaised params and "
                          "BSGS dense keys (gks_bsgs)")
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        def _place(x, *spec):
+            # Shard an axis only when the mesh axis divides it: the RNS
+            # tower shrinks at every rescale (L0, L0−1, ...), so 'rp'
+            # applies at the levels it divides and the array stays
+            # replicated over 'rp' elsewhere (still committed to the
+            # mesh, SPMD over all devices; 'dp' carries the grid/channel
+            # parallelism at every level). Plan limb counts divisible by
+            # the rp extent when full residue parallelism is wanted.
+            fixed = tuple(
+                (s if s is not None and x.shape[i] % mesh.shape[s] == 0
+                 else None)
+                for i, s in enumerate(spec))
+            return jax.device_put(x, NamedSharding(mesh, _P(*fixed)))
+    else:
+        def _place(x, *spec):
+            return x
     ring0 = params.ring_cipher
     n = ring0.n
     s0 = setup.scale
@@ -869,8 +902,15 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
         from ..core.ckks_encoding import CKKSTag
 
         # keys resident on device — host numpy pytree args would re-cross
-        # the host↔device boundary every call (tens of MB on a tunnel)
-        gks_bsgs = jax.device_put(gks_bsgs)
+        # the host↔device boundary every call (tens of MB on a tunnel).
+        # Under a mesh the keys are committed REPLICATED (every shard
+        # contracts against full key rows; GSPMD reshards if it prefers)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _PS
+            gks_bsgs = jax.device_put(gks_bsgs, NamedSharding(mesh, _PS()))
+        else:
+            gks_bsgs = jax.device_put(gks_bsgs)
 
         def _dense1_bsgs(o1, o2, gks_):
             mk = ((lambda x: F.RingElt(dual=x)) if dual_flow
@@ -949,7 +989,11 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
                                      s0).primal)
             for i in range(cfg.kernel) for j in range(cfg.kernel)], 0)
         cts = enc(jnp.asarray(pts), rng)              # (G, 2, L0, N) dual
+        # mesh placements: grid/channel axis on 'dp', limb axis on 'rp';
+        # each compiled layer partitions from its committed inputs (GSPMD)
+        cts = _place(cts, "dp", None, "rp", None)
         conv_out = conv(cts, jnp.asarray(wq), bias_dual)
+        conv_out = _place(conv_out, "dp", None, "rp", None)
         if dual_flow:
             # conv_out (C, 2, L1, N) DUAL; fused square keeps the tower
             # shape with the dropped limb zeroed — slice to ring2 rows
@@ -957,6 +1001,8 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
             o1, o2 = sq1_out[:, 0], sq1_out[:, 1]     # (C, L2, N) dual
         else:
             o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # primal
+        o1 = _place(o1, "dp", "rp", None)
+        o2 = _place(o2, "dp", "rp", None)
         if gks_bsgs is not None:
             fq1_1, fq1_2 = dense1_bsgs(o1, o2, gks_bsgs)
         else:
@@ -965,13 +1011,18 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
                 r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
                 fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
                 fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
+        fq1_1 = _place(fq1_1, "rp", None)
+        fq1_2 = _place(fq1_2, "rp", None)
         f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # (L3, N)
         if dual_flow:
-            sq2_out = sq2_fused(jnp.stack([f1p, f2p], 0)[None]
-                                )[0][..., : ring4.nlimbs, :]
+            sq2_in = _place(jnp.stack([f1p, f2p], 0)[None],
+                            None, None, "rp", None)
+            sq2_out = sq2_fused(sq2_in)[0][..., : ring4.nlimbs, :]
             g1, g2 = sq2_out[0], sq2_out[1]           # (L4, N) dual
         else:
-            g1, g2 = sq2(f1p, f2p)                    # (L4, N) primal
+            g1, g2 = sq2(_place(f1p, "rp", None), _place(f2p, "rp", None))
+        g1 = _place(g1, "rp", None)
+        g2 = _place(g2, "rp", None)
         if gks_bsgs is not None:
             r1, r2 = dense2_bsgs(g1, g2, gks_bsgs)    # dual at s4²
         else:
@@ -994,17 +1045,19 @@ def build_inference_pipeline(setup: FHESetup, model_params, gks_bsgs=None,
 
 def encrypted_inference_fast(setup: FHESetup, model_params,
                              batch: np.ndarray, rng, gks_bsgs=None,
-                             dual_flow=None):
+                             dual_flow=None, mesh=None):
     """Encrypted forward pass using the compiled layers in
     parallel/layers.py (bit-exact vs the eager pipeline per layer).
     Returns the decrypted logits matrix [classes, B]. The built pipeline
-    is cached on ``setup`` so repeat calls serve at warm rate."""
+    is cached on ``setup`` so repeat calls serve at warm rate. With
+    ``mesh`` the pipeline runs SHARDED over ('dp', 'rp') — see
+    :func:`build_inference_pipeline`."""
     pipe = getattr(setup, "_pipeline", None)
     prev = getattr(setup, "_pipeline_key", None)
     if (pipe is None or prev is None or prev[0] is not model_params
-            or prev[1] is not gks_bsgs or prev[2:] != (dual_flow,)):
+            or prev[1] is not gks_bsgs or prev[2:] != (dual_flow, mesh)):
         pipe = build_inference_pipeline(setup, model_params, gks_bsgs,
-                                        dual_flow=dual_flow)
+                                        dual_flow=dual_flow, mesh=mesh)
         setup._pipeline = pipe
-        setup._pipeline_key = (model_params, gks_bsgs, dual_flow)
+        setup._pipeline_key = (model_params, gks_bsgs, dual_flow, mesh)
     return pipe(batch, rng)

@@ -235,6 +235,46 @@ def predicted_scaling_curve(hosts: Sequence[int], chips_per_host: int,
     return out
 
 
+def pipeline_scaling_curve(hosts: Sequence[int], chips_per_host: int,
+                           n: int, L: int, n_keyswitches: int,
+                           t_pipeline_chip_s: float,
+                           n_rp: Optional[int] = None,
+                           ici_bw: float = 4 * 45e9,
+                           dcn_bw: float = 25e9,
+                           dp_across_hosts: bool = True) -> list:
+    """Predicted weak-scaling efficiency of the SHARDED SERVING PIPELINE
+    (models/mnist.py::build_inference_pipeline with a mesh), 1 chip → N
+    hosts, composed from the validated per-step comm model.
+
+    The pipeline is a sequence of keyswitch-class steps (the BSGS dense
+    layers' hoisted rotations + the two squares' relinearizations —
+    2·(bs+gs−2)+2 ≈ 30 at the reference shape, infer.jl:135-167) whose
+    'rp' all-gathers ride ICI; the remaining limb-local work (conv grid
+    muls, diagonal muls, bias/rescales) is comm-free and sits inside
+    ``t_pipeline_chip_s``. 'dp' (the 49-ct grid / channel / batch axis,
+    infer.jl:115-124) communicates nothing, so host count drops out
+    under the dp-across-hosts topology rule (docs/parallelism.md).
+
+    Returns [(n_hosts, efficiency), ...] with efficiency = t_serial /
+    (t_serial + t_comm) per pipeline invocation.
+    """
+    n_rp = chips_per_host if n_rp is None else n_rp
+    model = sharded_step_comm_model(n, L, n_rp, batch_per_dev=1)
+    out = []
+    for nh in hosts:
+        t_comm_step = 0.0
+        for s in model.values():
+            wire = s.total_bytes * (n_rp - 1) / max(n_rp, 1)
+            if dp_across_hosts or nh == 1:
+                t_comm_step += wire / ici_bw
+            else:
+                t_comm_step += wire * chips_per_host / dcn_bw
+        t_comm = n_keyswitches * t_comm_step
+        out.append((nh, t_pipeline_chip_s /
+                    (t_pipeline_chip_s + t_comm)))
+    return out
+
+
 _HLO_COLLECTIVE_RE = re.compile(
     r"(all-gather|all-to-all|all-reduce|collective-permute)")
 
