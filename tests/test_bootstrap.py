@@ -470,3 +470,38 @@ def test_eval_poly(setup):
     expect = xs - xs ** 3 / 6 + xs ** 5 / 120
     np.testing.assert_allclose(got, expect, atol=2e-3)
     np.testing.assert_allclose(got, np.sin(xs), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_bootstrap_bit_equal():
+    """RP-SHARDED bootstrap (round-4 VERDICT item 5): the ENTIRE jitted
+    refresh — ModRaise, factored CoeffToSlot, EvalMod, SlotToCoeff, all
+    riding rotate_sum keyswitches — with keys and ciphertext committed
+    limb-wise to an rp mesh (parallel.sharding.shard_limbwise), GSPMD
+    inserting the cross-limb collectives. Must be BIT-IDENTICAL to the
+    single-device jitted refresh at a small factored hybrid config."""
+    from toyfhe_tpu.parallel import sharding as S
+
+    ring = F.make_rns_ring(N, (30,) * 16)      # 12 ct limbs + 4 specials
+    params = F.HybridRaised(
+        F.CKKSParams(ring, 0, 3.2, secret="sparse", hamming_weight=4),
+        dnum=4, num_special=4)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    kp = F.keygen(params, ks[0])
+    ctx = B.setup_bootstrap(ks[1], kp.priv, K=5.0, deg=8, radix=16)
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-1, 1, H) + 1j * rng.uniform(-1, 1, H)) * 0.7
+    c = F.encrypt(kp, F.make_plaintext(params.ring_cipher, vals,
+                                       Fraction(2) ** 27), ks[2])
+    while c.ring.nlimbs > 1:
+        c = F.ct_modswitch_drop(c)
+
+    ref = jax.jit(B.bootstrap)(ctx, c)
+    mesh = S.make_mesh(n_rp=4, devices=jax.devices()[:4])
+    out = jax.jit(B.bootstrap)(S.shard_limbwise(ctx, mesh),
+                               S.shard_limbwise(c, mesh))
+    assert out.ring is ref.ring and out.enc.scale == ref.enc.scale
+    for a, b in zip(ref.cs, out.cs):
+        np.testing.assert_array_equal(
+            np.asarray(ringops.ensure_primal(ref.ring, a).primal),
+            np.asarray(ringops.ensure_primal(out.ring, b).primal))

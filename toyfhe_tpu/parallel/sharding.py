@@ -137,6 +137,32 @@ def shard_ring_tensor(mesh: Mesh, x, batch: bool = False):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def shard_limbwise(tree, mesh: Mesh, axis_name: str = "rp"):
+    """Commit every array leaf of a pytree (keys, ciphertexts, whole
+    BootstrapContexts) to ``mesh`` with its LIMB axis — axis −2 of the
+    (..., L, N) ring-tensor layout — sharded over ``axis_name`` wherever
+    the extent divides, replicated otherwise.
+
+    This is the residue-parallel placement for ENGINE pytrees: a
+    ``jax.jit`` of an engine function (e.g. ``core.bootstrap.bootstrap``)
+    over leaves committed this way compiles one GSPMD program whose
+    keyswitch contractions and per-limb transforms are limb-local, with
+    XLA inserting the cross-limb collectives (FBC gather, ModDown
+    broadcast — SURVEY §5.8 sites). Exact modular arithmetic makes the
+    partitioned program bit-identical to the single-device one."""
+    size = mesh.shape[axis_name]
+
+    def put(x):
+        if not hasattr(x, "ndim"):
+            return x
+        spec = [None] * x.ndim
+        if x.ndim >= 2 and x.shape[-2] % size == 0:
+            spec[-2] = axis_name
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 # ---------------------------------------------------------------------------
 # coefficient-axis (sequence-parallel) sharded NTT
 # ---------------------------------------------------------------------------
