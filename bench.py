@@ -291,6 +291,15 @@ def child_main():
     wedged backend."""
     if os.environ.get("BENCH_SIMULATE_WEDGE"):
         time.sleep(10 ** 6)          # kill-test hook for the parent loop
+    # persistent XLA compile cache (round-4 VERDICT item 7): a second
+    # bench session reuses this session's compiled executables instead
+    # of paying minutes of tunnel compile again
+    try:
+        sys.path.insert(0, _HERE)
+        from toyfhe_tpu.utils.cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
     backend = _watchdog_smoke()
     if backend is None:
         os._exit(3)

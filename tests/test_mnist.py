@@ -226,3 +226,31 @@ def test_bootstrapped_inference_composite_scale():
     err = np.abs(logits.T - plain).max()
     assert err < 1e-3, err
     assert np.array_equal(np.argmax(logits.T, -1), np.argmax(plain, -1))
+
+
+@pytest.mark.slow
+def test_bootstrapped_pipeline_compiled():
+    """The COMPILED bootstrapped pipeline (build_bootstrapped_pipeline:
+    per-stage jits at each tower level — the deep-tower counterparts of
+    the L=7 serving layers) reproduces the composite-scale eager
+    pipeline's guarantees: every logit within 1e-3 of the plaintext
+    model, all labels agree, ≥15 limbs regained — and repeat calls are
+    bit-stable at the warm (serving) rate."""
+    cfg = M.MNISTConfig(image=8, kernel=4, stride=4, channels=2, classes=4,
+                        ring_logn=6)
+    kt, kf, ke = jax.random.split(jax.random.PRNGKey(2), 3)
+    params, _ = M.train(cfg, kt, steps=200)
+    setup, ctx = M.fhe_setup_bootstrapped(
+        cfg, kf, depth=46, K=5.0, deg=24, scale_limbs=2, radix=16,
+        arcsin=True, double_angle=2, hamming_weight=4)
+    imgs, _ = M.load_real_digits(cfg)
+    imgs = np.asarray(imgs)[:cfg.batch]
+    plain = np.asarray(M.model_forward(cfg, params, imgs))
+    run = M.build_bootstrapped_pipeline(setup, ctx, params, prescale=32.0)
+    logits, depth_out = run(imgs, ke)
+    assert depth_out >= 15
+    err = np.abs(logits.T - plain).max()
+    assert err < 1e-3, err
+    assert np.array_equal(np.argmax(logits.T, -1), np.argmax(plain, -1))
+    logits2, _ = run(imgs, ke)
+    np.testing.assert_array_equal(logits2, logits)

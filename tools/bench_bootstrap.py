@@ -52,6 +52,8 @@ def main():
     sl = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 
     import jax
+    from toyfhe_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()   # persistent XLA cache: warm 2nd-session compiles
     import jax.numpy as jnp
     import toyfhe_tpu as F
     from toyfhe_tpu.core import bootstrap as B

@@ -29,6 +29,8 @@ def main():
     gadget = sys.argv[3] if len(sys.argv) > 3 else "modraise"
 
     import jax
+    from toyfhe_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()   # persistent XLA cache: warm 2nd-session compiles
     import toyfhe_tpu as F
     from toyfhe_tpu.models import mnist as M
     from toyfhe_tpu.core import rlwe

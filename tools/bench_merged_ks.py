@@ -30,6 +30,8 @@ import numpy as np
 
 def _chains(fn, x, L, k_long=7, k_short=1):
     import jax
+    from toyfhe_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()   # persistent XLA cache: warm 2nd-session compiles
 
     def chain(k):
         @jax.jit

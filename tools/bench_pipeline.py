@@ -27,6 +27,8 @@ def main():
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     import jax
+    from toyfhe_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()   # persistent XLA cache: warm 2nd-session compiles
     import toyfhe_tpu as F
     from toyfhe_tpu.models import mnist as M
 

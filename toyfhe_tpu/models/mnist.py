@@ -772,6 +772,182 @@ def encrypted_inference_bootstrapped(setup: FHESetup, boot_ctx,
     return mat[:cfg.classes, :], depth_out
 
 
+def build_bootstrapped_pipeline(setup: FHESetup, boot_ctx, model_params,
+                                prescale: float = 4.0, refresh_fn=None):
+    """COMPILED bootstrapped pipeline (round-4 VERDICT item 3): the
+    depth-unlimited flow
+
+        conv → square → dense1 → square → BOOTSTRAP → dense2
+
+    with every stage a jitted XLA program AT ITS TOWER LEVEL — the
+    deep-tower (L=48/47/.../44) counterparts of the L=7 serving layers
+    (parallel/layers.py: ConvLayer, SquareRelinLayer, RotateMatmulLayer
+    under a fori_loop so compile cost is ONE keyswitch body, and the
+    exhaust stage as one jit of the eager scale algebra), replacing the
+    round-4 per-op eager dispatch (2,141 s wall at the reference shape).
+
+    ``refresh_fn`` substitutes a compiled refresh (at production N the
+    phased trace-replay, tools/bench_boot_mnist.py); default is
+    ``jax.jit(bootstrap)``. The dense2 layer is built lazily at the
+    refreshed tower level on first call.
+
+    Iterated rotations (ONE galois key, d−1 sequential keyswitches per
+    dense layer, infer.jl:141-150) — at deep towers a BSGS key set costs
+    ~2√d · L·(L+1)·N·8 bytes (≫ 1 GB), so the single-key schedule is
+    the memory-sound choice the round-4 full-shape run validated.
+
+    Returns ``run(batch, rng) -> (logits [classes, B], depth_out)``.
+    """
+    from ..core import bootstrap as B
+    from ..core import ckks_encoding as CE
+    from ..core import ring as ringops
+    from ..core.ckks_encoding import CKKSTag
+    from ..ops import modmath as MM
+    from ..parallel import layers as JL
+    from ..parallel.ops import _mp_full, full_table_pytree
+
+    cfg = setup.cfg
+    params = setup.params
+    ring0 = params.ring_cipher
+    n = ring0.n
+    s0 = setup.scale
+    d = cfg.positions
+
+    enc = JL.BatchEncryptor(params, setup.kp.pub, sigma=3.2)
+
+    # ---- conv + bias + rescale at the full deep tower ----
+    w = np.asarray(model_params["conv_w"])
+    bconv = np.asarray(model_params["conv_b"])
+    q0 = ring0.modulus
+    wq = np.zeros((cfg.channels, cfg.kernel * cfg.kernel, ring0.nlimbs, 1),
+                  dtype=np.uint32)
+    for c in range(cfg.channels):
+        for g in range(cfg.kernel * cfg.kernel):
+            m = round(float(w.reshape(-1, cfg.channels)[g, c])
+                      * float(s0)) % q0
+            wq[c, g] = ring0.scalar_residues(m)
+    s_conv = s0 * s0
+    bias_dual = jnp.stack([
+        ringops.ensure_dual(ring0, F.ckks_encode(
+            ring0, np.full(n // 2, float(bconv[c]), dtype=complex),
+            s_conv)).dual
+        for c in range(cfg.channels)], 0)
+    conv = JL.ConvLayer(params, ring0, cfg.channels)
+    ring1 = ring0.drop_last()
+    s1 = s_conv / ring0.primes[-1]
+
+    # ---- square 1 (L0−1 tower) ----
+    sq1 = JL.SquareRelinLayer(params, setup.ek, ring1)
+    ring2 = ring1.drop_last()
+    s2 = s1 * s1 / ring1.primes[-1]
+
+    # ---- dense1: iterated-rotation diagonal matmul per channel ----
+    w1 = np.asarray(model_params["w1"])
+    mat1 = JL.RotateMatmulLayer(params, setup.gk,
+                                setup.gk.galois_element, d, ring2)
+    diags1 = []
+    for ci in range(cfg.channels):
+        blk = w1[:, ci * d:(ci + 1) * d]
+        diags1.append(jnp.stack([
+            ringops.ensure_dual(ring2, F.ckks_encode(
+                ring2, _rep_inner(np.diag(np.roll(blk, k, axis=1)),
+                                  cfg.batch).astype(complex), s2)).dual
+            for k in range(d)], 0))
+    mp2 = _mp_full(full_table_pytree(ring2.tables))
+    s_fq1 = s2 * s2
+    b1_dual = ringops.ensure_dual(ring2, F.ckks_encode(
+        ring2, _rep_inner(np.asarray(model_params["b1"]), cfg.batch)
+        .astype(complex), s_fq1)).dual
+    br = JL.BiasRescaleLayer(ring2)
+    ring3 = ring2.drop_last()
+    s3 = s_fq1 / ring2.primes[-1]
+
+    # ---- square 2 ----
+    sq2 = JL.SquareRelinLayer(params, setup.ek, ring3)
+    ring4 = ring3.drop_last()
+    s4 = s3 * s3 / ring3.primes[-1]
+
+    # ---- exhaust: one jit of the eager scale algebra ----
+    sl = boot_ctx.scale_limbs
+    comp_scale = (Fraction(boot_ctx.base_scale)
+                  if boot_ctx.base_scale is not None
+                  else Fraction(2) ** (26 * sl)) if sl > 1 else None
+
+    def _exhaust(ct):
+        ex = F.ct_rescale(CE.mul_plain_scalar(ct, 1.0 / prescale))
+        if sl > 1:
+            return CE.ct_to(ex, sl, comp_scale)
+        while ex.ring.nlimbs > sl:
+            ex = F.ct_modswitch_drop(ex)
+        return ex
+
+    exhaust = jax.jit(_exhaust)
+
+    if refresh_fn is None:
+        _jboot = jax.jit(B.bootstrap)
+        refresh_fn = lambda c: _jboot(boot_ctx, c)
+
+    # ---- dense2 at the REGAINED tower (built lazily: the refreshed
+    # level is known only after the first refresh) ----
+    w2 = np.asarray(model_params["w2"]) * prescale
+    wpad2 = np.vstack([w2, np.zeros((d - w2.shape[0], d))])
+    b2pad = np.concatenate([np.asarray(model_params["b2"]),
+                            np.zeros(d - cfg.classes)])
+    lazy2 = {}
+
+    def dense2(refreshed):
+        ringr = refreshed.ring
+        sr = Fraction(refreshed.enc.scale)
+        key = (ringr, sr)
+        if lazy2.get("key") != key:
+            lazy2["key"] = key
+            lazy2["mat"] = JL.RotateMatmulLayer(
+                params, setup.gk, setup.gk.galois_element, d, ringr)
+            lazy2["diag"] = jnp.stack([
+                ringops.ensure_dual(ringr, F.ckks_encode(
+                    ringr, _rep_inner(np.diag(np.roll(wpad2, k, axis=1)),
+                                      cfg.batch).astype(complex), sr)).dual
+                for k in range(d)], 0)
+            lazy2["b2"] = ringops.ensure_dual(ringr, F.ckks_encode(
+                ringr, _rep_inner(b2pad, cfg.batch).astype(complex),
+                sr * sr)).dual
+            lazy2["mp"] = _mp_full(full_table_pytree(ringr.tables))
+        c1p = ringops.ensure_primal(ringr, refreshed.cs[0]).primal
+        c2p = ringops.ensure_primal(ringr, refreshed.cs[1]).primal
+        r1, r2 = lazy2["mat"](c1p, c2p, lazy2["diag"])
+        r1 = MM.add_mod(r1, lazy2["b2"], lazy2["mp"])
+        return F.CipherText(params, (F.RingElt(dual=r1), F.RingElt(dual=r2)),
+                            ringr, enc=CKKSTag(sr * sr))
+
+    def run(batch: np.ndarray, rng):
+        I = public_preprocess(cfg, batch)
+        pts = np.stack([
+            np.asarray(F.ckks_encode(ring0, I[i, j].astype(complex),
+                                     s0).primal)
+            for i in range(cfg.kernel) for j in range(cfg.kernel)], 0)
+        cts = enc(jnp.asarray(pts), rng)              # (G, 2, L0, N) dual
+        conv_out = conv(cts, jnp.asarray(wq), bias_dual)   # (C, 2, L1, N)
+        o1, o2 = sq1(conv_out[:, 0], conv_out[:, 1])  # (C, L2, N) primal
+        fq1_1 = fq1_2 = None
+        for ci in range(cfg.channels):
+            r1, r2 = mat1(o1[ci], o2[ci], diags1[ci])  # dual at s2²
+            fq1_1 = r1 if fq1_1 is None else MM.add_mod(fq1_1, r1, mp2)
+            fq1_2 = r2 if fq1_2 is None else MM.add_mod(fq1_2, r2, mp2)
+        f1p, f2p = br(fq1_1, fq1_2, b1_dual)          # (L3, N) primal
+        g1, g2 = sq2(f1p, f2p)                        # (L4, N) primal
+        ct4 = F.CipherText(params, (F.RingElt(primal=g1),
+                                    F.RingElt(primal=g2)),
+                           ring4, enc=CKKSTag(s4))
+        refreshed = refresh_fn(exhaust(ct4))
+        depth_out = refreshed.ring.nlimbs
+        out = dense2(refreshed)
+        dec = F.decrypt(setup.kp, out).real
+        mat = dec.reshape(cfg.positions, cfg.batch)
+        return mat[:cfg.classes, :], depth_out
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # jitted (serving-path) encrypted inference — same math, compiled layers
 # ---------------------------------------------------------------------------
