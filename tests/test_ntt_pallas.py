@@ -135,3 +135,55 @@ def test_mxu_row_view_bitexact():
     # legacy consumers read materialized slices
     np.testing.assert_array_equal(np.asarray(view.tw), np.asarray(own.tw))
     assert view.primes == own.primes
+
+
+def test_mxu_nat_n1_factorizations(rings):
+    """Parameterized four-step factorization (round-5 MFU lever): tables
+    built with n1 = N/128 make n2 = 128 — a full-lane minor dim for
+    every in-kernel elementwise pass. All factorizations must be
+    bit-identical to the radix-2 path, forward and inverse."""
+    from toyfhe_tpu.ops import ntt_mxu as mxu
+    from toyfhe_tpu.ops import ntt_mxu_pallas as mxp
+    t, pt, a, _ = rings
+    x = jnp.asarray(a.transpose(1, 0, 2))          # [R, L, N] at N=256
+    ref_f = np.asarray(nttmod.ntt(t, x))
+    ref_i = np.asarray(nttmod.intt(t, x))
+    for n1 in (2, 8, 64, 128):                     # n2 = 128, 32, 4, 2
+        mt = mxu.MxuNttTables(t, n1=n1)
+        assert mt.n1 == n1 and mt.n1 * mt.n2 == t.n
+        np.testing.assert_array_equal(
+            np.asarray(mxp.ntt_mxu_nat(mt, x, True)), ref_f)
+        np.testing.assert_array_equal(
+            np.asarray(mxp.intt_mxu_nat(mt, x, True)), ref_i)
+        # einsum (non-pallas) path agrees too
+        np.testing.assert_array_equal(np.asarray(mxu.ntt_mxu(mt, x)), ref_f)
+        np.testing.assert_array_equal(np.asarray(mxu.intt_mxu(mt, x)), ref_i)
+
+
+def test_fused_hybrid_ks_n1(rings):
+    """FusedHybridKS under a non-default factorization stays bit-equal
+    to the default-table kernel."""
+    import jax
+    import toyfhe_tpu as F
+    from toyfhe_tpu.ops.pallas_hybrid_ks import FusedHybridKS
+
+    ring = F.make_rns_ring(256, (28,) * 4 + (29,) * 2)
+    params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 2, 2)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    kp = F.keygen(params, ks[0])
+    ek = F.keygen_eval_mult(ks[1], kp.priv)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.integers(0, min(ring.primes),
+                                 (2, 4, 256)).astype(np.uint32))
+    import os
+    fks = FusedHybridKS(params, ek)
+    a1, a2 = fks(fks.premultiply(y), interpret=True)
+    os.environ["TOYFHE_MXU_N1"] = "2"
+    try:
+        fks2 = FusedHybridKS(params, ek)
+        assert fks2.mt.n1 == 2
+        b1, b2 = fks2(fks2.premultiply(y), interpret=True)
+    finally:
+        del os.environ["TOYFHE_MXU_N1"]
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))

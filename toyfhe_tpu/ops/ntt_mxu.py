@@ -68,36 +68,47 @@ def _balanced_digits_host(M: np.ndarray) -> np.ndarray:
 
 
 class MxuNttTables:
-    """Digit-decomposed DFT matrices + twiddles for the four-step NTT."""
+    """Digit-decomposed DFT matrices + twiddles for the four-step NTT.
 
-    def __init__(self, tables: NttTables):
+    ``n1`` is the stage-1 edge (N = n1·n2). The default 128 matches the
+    MXU tile; `TOYFHE_MXU_N1` overrides it. At N < 2^14 the default
+    leaves n2 < 128 — a minor dim narrower than the 128-wide VPU lane
+    tile, so EVERY in-kernel elementwise op runs on padded lanes;
+    choosing n1 = N/128 (n2 = 128) fills the lanes instead (the round-5
+    in-kernel MFU lever; A/B: tools/bench_mfu_levers.py)."""
+
+    def __init__(self, tables: NttTables, n1: int = None):
+        import os as _os
+
         n = tables.n
-        assert n % N1 == 0 and n >= N1
+        if n1 is None:
+            n1 = int(_os.environ.get("TOYFHE_MXU_N1", 0)) or N1
+        assert n % n1 == 0 and n >= n1 and n1 <= 128
         for p in tables.primes:
             assert p < (1 << 30), "MXU path requires primes < 2^30"
-        n2 = n // N1
-        self.n, self.n2 = n, n2
+        n2 = n // n1
+        self.n, self.n1, self.n2 = n, n1, n2
         self.primes = tables.primes
         self.mp = tables.mp
         L = len(tables.primes)
         self.psi_pow = tables.psi_pow          # (L, N) Montgomery
         self.psi_ipow = tables.psi_ipow
 
-        self.w1 = np.zeros((L, _NDIG, N1, N1), dtype=np.int8)
-        self.w1i = np.zeros((L, _NDIG, N1, N1), dtype=np.int8)
+        self.w1 = np.zeros((L, _NDIG, n1, n1), dtype=np.int8)
+        self.w1i = np.zeros((L, _NDIG, n1, n1), dtype=np.int8)
         self.w2 = np.zeros((L, _NDIG, n2, n2), dtype=np.int8)
         self.w2i = np.zeros((L, _NDIG, n2, n2), dtype=np.int8)
-        self.tw = np.zeros((L, N1, n2), dtype=np.uint32)
-        self.twi = np.zeros((L, N1, n2), dtype=np.uint32)
+        self.tw = np.zeros((L, n1, n2), dtype=np.uint32)
+        self.twi = np.zeros((L, n1, n2), dtype=np.uint32)
         for l, (p, psi) in enumerate(zip(tables.primes, tables.psis)):
             omega = psi * psi % p
             iomega = pow(omega, -1, p)
-            self.w1[l] = _balanced_digits_host(_build_mat(p, pow(omega, n2, p), N1, N1))
-            self.w1i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, n2, p), N1, N1))
-            self.w2[l] = _balanced_digits_host(_build_mat(p, pow(omega, N1, p), n2, n2))
-            self.w2i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, N1, p), n2, n2))
-            self.tw[l] = _to_mont_np(_build_mat(p, omega, N1, n2), p)
-            self.twi[l] = _to_mont_np(_build_mat(p, iomega, N1, n2), p)
+            self.w1[l] = _balanced_digits_host(_build_mat(p, pow(omega, n2, p), n1, n1))
+            self.w1i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, n2, p), n1, n1))
+            self.w2[l] = _balanced_digits_host(_build_mat(p, pow(omega, n1, p), n2, n2))
+            self.w2i[l] = _balanced_digits_host(_build_mat(p, pow(iomega, n1, p), n2, n2))
+            self.tw[l] = _to_mont_np(_build_mat(p, omega, n1, n2), p)
+            self.twi[l] = _to_mont_np(_build_mat(p, iomega, n1, n2), p)
 
         # digit-recombination constants (plain residues): c_s = 2^{8s} mod p
         cs = np.zeros((2 * _NDIG - 1, L, 1, 1), dtype=np.uint32)
@@ -177,7 +188,7 @@ class MxuRowView:
         self.root = root
         self.rows = tuple(int(r) for r in rows)
         idx = np.asarray(self.rows)
-        self.n, self.n2 = root.n, root.n2
+        self.n, self.n1, self.n2 = root.n, root.n1, root.n2
         self.primes = [root.primes[i] for i in self.rows]
         self.mp = root.mp.select(idx)
         self.cs = root.cs[:, idx]
@@ -273,7 +284,7 @@ def _four_step(mt: MxuNttTables, x, w1, w2, twiddle, psi, pre: bool):
     L = x.shape[-2]
     if pre:
         x = modmath.mont_mul(x, jnp.asarray(psi), mp)
-    xm = x.reshape(lead + (L, N1, n2))                       # Xmat[j1, j2]
+    xm = x.reshape(lead + (L, mt.n1, n2))                    # Xmat[j1, j2]
     a = _mod_matmul(mt, _balanced_digits_device(xm), jnp.asarray(w1), mp3)
     b = modmath.mont_mul(a, jnp.asarray(twiddle), mp3)       # ⊙ ω^{k1·j2}
     bt = jnp.swapaxes(b, -1, -2)                             # [..., L, j2, k1]

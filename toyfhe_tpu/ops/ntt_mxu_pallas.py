@@ -190,6 +190,7 @@ def ntt_mxu_pallas(mt: MxuNttTables, x, psis, interpret: bool = False,
     """
     if paired is None:
         paired = bool(mt.paired_ok)
+    assert getattr(mt, "n1", N1) == N1, "layout kernel assumes n1=128"
     L, R, _, n2 = x.shape
     cs = np.asarray(mt.cs)[:, :, 0, :].transpose(1, 0, 2)     # (L, 7, 1)
     sc = np.zeros((L, 1, 8), dtype=np.uint32)
@@ -251,17 +252,21 @@ def _fwd_kernel_nat(x_ref, w1_ref, w2_ref, tw_ref, psi_ref, sc_ref,
     out_ref[...] = jnp.swapaxes(c, 0, 1)                     # [k2, k1] → natural
 
 
-def _inv_kernel_nat(y_ref, w2i_ref, w1i_ref, twi_t_ref, ipsi_ref, sc_ref,
+def _inv_kernel_nat(y_ref, w2i_ref, w1i_ref, twi_ref, ipsi_ref, sc_ref,
                     out_ref):
+    """Transpose-FIRST inverse: the input relayout moves to the top so
+    every elementwise pass (digits, combines, twiddle, untwist) runs in
+    the (n1, n2) layout — with n2 = 128 that is full-lane VPU work
+    (round-5 MFU lever). Same multiplies in the same per-element order
+    as the historical j2-major body — bit-identical."""
     p, ninv = sc_ref[0, 0], sc_ref[0, 1]
     r1m, him = sc_ref[0, 3], sc_ref[0, 4]
     cs32, cs48, corr2 = sc_ref[0, 5], sc_ref[0, 6], sc_ref[0, 7]
     comb = lambda g: _combine_paired(g, cs32, cs48, corr2, r1m, him, p, ninv)
-    y = y_ref[...]                                           # (n2, N1) [k2, k1]
-    d = comb(_dot_groups_wx(_digits_i8(y), w2i_ref))         # (n2, N1) [j2, k1]
-    d = _mm_scalar(d, twi_t_ref[...], p, ninv)               # ⊙ ω^{-k1·j2}
-    dt = jnp.swapaxes(d, 0, 1)                               # (N1, n2) [k1, j2]
-    x = comb(_dot_groups_wx(_digits_i8(dt), w1i_ref))        # (N1, n2) [j1, j2]
+    y = jnp.swapaxes(y_ref[...], 0, 1)                       # (N1, n2) [k1, k2]
+    d = comb(_dot_groups_xw(_digits_i8(y), w2i_ref))         # (N1, n2) [k1, j2]
+    d = _mm_scalar(d, twi_ref[...], p, ninv)                 # ⊙ ω^{-k1·j2}
+    x = comb(_dot_groups_wx(_digits_i8(d), w1i_ref))         # (N1, n2) [j1, j2]
     out_ref[...] = _mm_scalar(x, ipsi_ref[...], p, ninv)     # ψ⁻¹/n untwist
 
 
@@ -288,28 +293,28 @@ def _mxu_nat(mt: MxuNttTables, x, inverse: bool, interpret: bool = False):
     """
     lead = x.shape[:-2]
     L, n = x.shape[-2], x.shape[-1]
-    n2 = mt.n2
+    n1, n2 = mt.n1, mt.n2
     R = int(np.prod(lead)) if lead else 1
     wA, wB, tww, psi = _nat_big_tables(mt, inverse)
     if inverse:
-        xb = x.reshape((R, L, n2, N1))
+        xb = x.reshape((R, L, n2, n1))
         kernel = _inv_kernel_nat
         specA = pl.BlockSpec((None, _NDIG, n2, n2), lambda r, l: (l, 0, 0, 0))
-        specB = pl.BlockSpec((None, _NDIG, N1, N1), lambda r, l: (l, 0, 0, 0))
-        spec_tw = pl.BlockSpec((None, n2, N1), lambda r, l: (l, 0, 0))
-        spec_io = pl.BlockSpec((None, None, n2, N1), lambda r, l: (r, l, 0, 0))
-        out_block = pl.BlockSpec((None, None, N1, n2), lambda r, l: (r, l, 0, 0))
-        out_shape = jax.ShapeDtypeStruct((R, L, N1, n2), jnp.uint32)
+        specB = pl.BlockSpec((None, _NDIG, n1, n1), lambda r, l: (l, 0, 0, 0))
+        spec_tw = pl.BlockSpec((None, n1, n2), lambda r, l: (l, 0, 0))
+        spec_io = pl.BlockSpec((None, None, n2, n1), lambda r, l: (r, l, 0, 0))
+        out_block = pl.BlockSpec((None, None, n1, n2), lambda r, l: (r, l, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((R, L, n1, n2), jnp.uint32)
     else:
-        xb = x.reshape((R, L, N1, n2))
+        xb = x.reshape((R, L, n1, n2))
         kernel = _fwd_kernel_nat
-        specA = pl.BlockSpec((None, _NDIG, N1, N1), lambda r, l: (l, 0, 0, 0))
+        specA = pl.BlockSpec((None, _NDIG, n1, n1), lambda r, l: (l, 0, 0, 0))
         specB = pl.BlockSpec((None, _NDIG, n2, n2), lambda r, l: (l, 0, 0, 0))
-        spec_tw = pl.BlockSpec((None, N1, n2), lambda r, l: (l, 0, 0))
-        spec_io = pl.BlockSpec((None, None, N1, n2), lambda r, l: (r, l, 0, 0))
-        out_block = pl.BlockSpec((None, None, n2, N1), lambda r, l: (r, l, 0, 0))
-        out_shape = jax.ShapeDtypeStruct((R, L, n2, N1), jnp.uint32)
-    spec_psi = pl.BlockSpec((None, N1, n2), lambda r, l: (l, 0, 0))
+        spec_tw = pl.BlockSpec((None, n1, n2), lambda r, l: (l, 0, 0))
+        spec_io = pl.BlockSpec((None, None, n1, n2), lambda r, l: (r, l, 0, 0))
+        out_block = pl.BlockSpec((None, None, n2, n1), lambda r, l: (r, l, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((R, L, n2, n1), jnp.uint32)
+    spec_psi = pl.BlockSpec((None, n1, n2), lambda r, l: (l, 0, 0))
     out = pl.pallas_call(
         kernel,
         grid=(R, L),
@@ -335,28 +340,25 @@ def _nat_big_tables(mt, inverse: bool):
 
     if isinstance(mt, MxuRowView):
         root = mt.root
-        Lr, n2 = len(root.primes), root.n2
+        Lr, n1, n2 = len(root.primes), root.n1, root.n2
         rows = jnp.asarray(np.asarray(mt.rows))
         take = lambda a: jnp.take(jnp.asarray(a), rows, axis=0)
         if inverse:
-            return (take(root.w2i), take(root.w1i),
-                    take(root.cached("twi_T", lambda: np.swapaxes(
-                        root.twi, -1, -2).copy())),
+            return (take(root.w2i), take(root.w1i), take(root.twi),
                     take(root.cached("ipsi_nat", lambda: np.asarray(
-                        root.psi_ipow).reshape(Lr, N1, n2))))
+                        root.psi_ipow).reshape(Lr, n1, n2))))
         return (take(root.w1), take(root.w2), take(root.tw),
                 take(root.cached("psi_nat", lambda: np.asarray(
-                    root.psi_pow).reshape(Lr, N1, n2))))
-    L, n2 = len(mt.primes), mt.n2
+                    root.psi_pow).reshape(Lr, n1, n2))))
+    L, n1, n2 = len(mt.primes), mt.n1, mt.n2
     if inverse:
         return (jnp.asarray(mt.w2i), jnp.asarray(mt.w1i),
-                jnp.asarray(mt.cached("twi_T", lambda: np.swapaxes(
-                    np.asarray(mt.twi), -1, -2).copy())),
+                jnp.asarray(mt.twi),
                 jnp.asarray(mt.cached("ipsi_nat", lambda: np.asarray(
-                    mt.psi_ipow).reshape(L, N1, n2))))
+                    mt.psi_ipow).reshape(L, n1, n2))))
     return (jnp.asarray(mt.w1), jnp.asarray(mt.w2), jnp.asarray(mt.tw),
             jnp.asarray(mt.cached("psi_nat", lambda: np.asarray(
-                mt.psi_pow).reshape(L, N1, n2))))
+                mt.psi_pow).reshape(L, n1, n2))))
 
 
 def ntt_mxu_nat(mt: MxuNttTables, x, interpret: bool = False):

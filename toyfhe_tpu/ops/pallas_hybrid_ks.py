@@ -111,6 +111,7 @@ class FusedHybridKS:
         assert self.mt.paired_ok, "fused kernel needs the paired bound"
         T = exp_ring.nlimbs
         n, n2 = self.mt.n, self.mt.n2
+        n1 = self.mt.n1
         self.dnum_t = len(groups)
         self.alpha = max(hi - lo for (lo, hi), _, _ in groups)
         self.bounds = [g[0] for g in groups]
@@ -143,9 +144,9 @@ class FusedHybridKS:
         pr = np.asarray(exp_ring.primes, dtype=np.uint64)[None, :, None]
         km = (km << 32) % pr
         kd = (kd << 32) % pr
-        self.km = km.astype(np.uint32).reshape(self.dnum_t, T, n2, N1)
-        self.kd = kd.astype(np.uint32).reshape(self.dnum_t, T, n2, N1)
-        self.psi = np.asarray(self.mt.psi_pow).reshape(T, N1, n2)
+        self.km = km.astype(np.uint32).reshape(self.dnum_t, T, n2, n1)
+        self.kd = kd.astype(np.uint32).reshape(self.dnum_t, T, n2, n1)
+        self.psi = np.asarray(self.mt.psi_pow).reshape(T, n1, n2)
         self.sc = _sc_table(self.mt)
         # Mosaic targets TPU; everywhere else run the interpreter
         self.interpret = jax.default_backend() != "tpu"
@@ -163,6 +164,7 @@ class FusedHybridKS:
         interpret = self.interpret if interpret is None else interpret
         mt = self.mt
         n, n2 = mt.n, mt.n2
+        N1 = mt.n1          # shadows the module tile constant on purpose
         T, dnum, alpha = self.exp_ring.nlimbs, self.dnum_t, self.alpha
         lead = y.shape[:-2]
         R_ = int(np.prod(lead)) if lead else 1

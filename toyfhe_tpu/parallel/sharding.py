@@ -253,6 +253,8 @@ def coeff_sharded_ntt_fn(mxu_tables, nshards: int, axis_name: str = "cp"):
 
 
 def mxu_table_pytree(mxu_tables, nshards: int) -> dict:
+    assert getattr(mxu_tables, "n1", 128) == 128, \
+        "coeff-sharded four-step assumes the n1=128 factorization"
     """Four-step NTT constants as a pytree shardable over BOTH the limb
     axis ('rp') and the coefficient axis ('cp') — the table side of the
     2-axis sharded transform. ψ tables are pre-permuted into the
