@@ -96,14 +96,18 @@ def main():
     assert np.array_equal(ia, ib), "inv factorizations disagree on device"
     print("device bit-equality: transforms OK", flush=True)
 
-    # ---- NTT-granularity chains (fwd∘inv pairs keep shapes fixed) ----
+    # ---- NTT-granularity chains (fwd∘inv pairs keep shapes fixed).
+    # Chains return a 128-lane slice: execution of the whole chain is
+    # data-dependent, but the host transfer drops from ~2 MB to 512 B —
+    # at these sub-ms slopes the tunnel's per-MB transfer jitter was
+    # the dominant noise term (first r5 session: negative slopes). ----
     def ntt_chain(mt, K):
         @jax.jit
         def f(a):
             for _ in range(K):
                 a = mxp.intt_mxu_nat(mt, mxp.ntt_mxu_nat(mt, a, interp),
                                      interp)
-            return a
+            return a[0, 0, :128]
         return f
 
     # ---- fused keyswitch steps over each table set (dnum=2/k=4) ----
@@ -115,12 +119,25 @@ def main():
         step, _ = pops.make_hybrid_fused_step(params, ek)
         return step
 
+    def build_step_vmem(ring):
+        """VMEM-fused digit pipeline (FusedHybridKS: FBC + NTT + key
+        contraction per grid cell, digit tensor never in HBM) — the
+        round-2 lever re-benched under full-lane tables."""
+        params = F.HybridRaised(F.CKKSParams(ring, 0, 3.2), 2, 4)
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        kp = F.keygen(params, ks[0])
+        ek = F.keygen_eval_mult(ks[1], kp.priv)
+        step, _ = pops.make_hybrid_sharded_step(None, params, ek,
+                                                fused=True)
+        return step
+
     t0 = time.time()
     os.environ["TOYFHE_NTT_IMPL"] = "radix2"
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         stepA = build_step(ringA)
         stepB = build_step(ringB)
+        stepV = build_step_vmem(ringB)
     os.environ.pop("TOYFHE_NTT_IMPL", None)
     print(f"keygen+build (cpu): {time.time()-t0:.0f}s", flush=True)
 
@@ -129,7 +146,9 @@ def main():
     sa = np.asarray(stepA(cts))
     sb = np.asarray(stepB(cts))
     assert np.array_equal(sa, sb), "fused steps disagree on device"
-    print("device bit-equality: fused step OK", flush=True)
+    sv = np.asarray(stepV(cts))
+    assert np.array_equal(sa, sv), "VMEM-fused step disagrees on device"
+    print("device bit-equality: fused + VMEM steps OK", flush=True)
 
     def step_chain(step, K):
         @jax.jit
@@ -137,7 +156,7 @@ def main():
             for _ in range(K):
                 out = step(c)
                 c = c.at[:, :, : L - 1, :].set(out[:, :, : L - 1, :])
-            return c
+            return c[0, 0, 0, :128]
         return f
 
     # compile all chains first (cold compiles OUTSIDE the timed loops)
@@ -149,26 +168,32 @@ def main():
         "step_B_s": (lambda K: step_chain(stepB, K), cts, (1, 7)),
         "step_A128_l": (lambda K: step_chain(stepA, K), cts, (8, 24)),
         "step_B_l": (lambda K: step_chain(stepB, K), cts, (8, 24)),
+        "step_V_s": (lambda K: step_chain(stepV, K), cts, (1, 7)),
+        "step_V_l": (lambda K: step_chain(stepV, K), cts, (8, 24)),
     }.items():
         ks, kb = kpair
         fs, fb_ = mk(ks), mk(kb)
         np.asarray(fs(arg)); np.asarray(fb_(arg))
         chains[name] = (fs, fb_, arg, ks, kb)
 
-    # ---- interleaved measurement: every (flavor, chain-len) each rep ----
-    reps = 7
+    # ---- interleaved measurement: every (flavor, chain-len) each rep,
+    # TWO spaced passes (a transient stall cannot cover every rep) ----
+    reps = 10
     times = {k: {"s": [], "b": []} for k in chains}
-    for r in range(reps):
-        order = list(chains.items())
-        if r % 2:
-            order = order[::-1]
-        for name, (fs, fb_, arg, ks, kb) in order:
-            t0 = time.perf_counter()
-            np.asarray(fs(arg))
-            times[name]["s"].append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(fb_(arg))
-            times[name]["b"].append(time.perf_counter() - t0)
+    for p in range(2):
+        if p:
+            time.sleep(1.5)
+        for r in range(reps):
+            order = list(chains.items())
+            if r % 2:
+                order = order[::-1]
+            for name, (fs, fb_, arg, ks, kb) in order:
+                t0 = time.perf_counter()
+                np.asarray(fs(arg))
+                times[name]["s"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                np.asarray(fb_(arg))
+                times[name]["b"].append(time.perf_counter() - t0)
 
     result = {}
     for name, (fs, fb_, arg, ks, kb) in chains.items():
@@ -186,12 +211,14 @@ def main():
         "ntt_B_vs_A": result["ntt_A128"] / result["ntt_B"],
         "step_short_B_vs_A": result["step_A128_s"] / result["step_B_s"],
         "step_long_B_vs_A": result["step_A128_l"] / result["step_B_l"],
+        "step_long_VMEM_vs_B": result["step_B_l"] / result["step_V_l"],
     }
     for k, v in ratios.items():
         print(f"{k}: {v:.3f}x", flush=True)
     mfu = {
         "A128_long": batch / result["step_A128_l"] / SOL_STEPS,
         "B_long": batch / result["step_B_l"] / SOL_STEPS,
+        "VMEM_long": batch / result["step_V_l"] / SOL_STEPS,
     }
     print(json.dumps({
         "metric": f"mfu_levers_n2^{logn}",

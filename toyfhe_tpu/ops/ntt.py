@@ -221,7 +221,10 @@ def _mxu_tables(tables: NttTables):
                                 else root_mt)
                         mt = _mxu.MxuRowView(base, tables.root_rows)
                     else:
-                        cand = _mxu.MxuNttTables(tables)
+                        import os as _os
+                        n1 = (None if _os.environ.get("TOYFHE_MXU_N1")
+                              else _mxu.lane_optimal_n1(tables.n))
+                        cand = _mxu.MxuNttTables(tables, n1=n1)
                         if cand.paired_ok:
                             mt = cand
             except Exception:      # pragma: no cover - missing pallas

@@ -40,6 +40,17 @@ _NDIG = 4
 _OFF = 1 << 23
 
 
+def lane_optimal_n1(n: int) -> int:
+    """Four-step stage-1 edge that puts 128 in the MINOR dim (n2) so
+    every in-kernel elementwise pass fills the 128-wide VPU lane tile.
+    Measured 4.0× on chip at N=2^13 vs the n1=128 default
+    (tools/bench_mfu_levers.py, docs/performance.md round 5). At
+    N ≥ 2^14 the default n1=128 already has n2 ≥ 128."""
+    if n % 128 == 0 and n < 16384:
+        return max(2, n // 128)
+    return N1
+
+
 def _build_mat(p: int, w: int, rows: int, cols: int) -> np.ndarray:
     """M[i, j] = w^{i·j} mod p as an object matrix (host, setup only)."""
     out = np.zeros((rows, cols), dtype=object)

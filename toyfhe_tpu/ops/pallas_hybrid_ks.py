@@ -107,7 +107,11 @@ class FusedHybridKS:
         lt = full.nlimbs if lt is None else lt
         exp_ring, groups = params._tables(lt)
         self.exp_ring = exp_ring
-        self.mt = MxuNttTables(exp_ring.tables)
+        from .ntt_mxu import lane_optimal_n1
+        import os as _os
+        _n1 = (None if _os.environ.get("TOYFHE_MXU_N1")
+               else lane_optimal_n1(exp_ring.tables.n))
+        self.mt = MxuNttTables(exp_ring.tables, n1=_n1)
         assert self.mt.paired_ok, "fused kernel needs the paired bound"
         T = exp_ring.nlimbs
         n, n2 = self.mt.n, self.mt.n2
