@@ -143,6 +143,10 @@ def main():
 
     cts = jnp.asarray(rng.integers(0, lim, (batch, 2, L, n))
                       .astype(np.uint32))
+    cts16 = jnp.asarray(rng.integers(0, lim, (4 * batch, 2, L, n))
+                        .astype(np.uint32))
+    cts64 = jnp.asarray(rng.integers(0, lim, (16 * batch, 2, L, n))
+                        .astype(np.uint32))
     sa = np.asarray(stepA(cts))
     sb = np.asarray(stepB(cts))
     assert np.array_equal(sa, sb), "fused steps disagree on device"
@@ -170,6 +174,8 @@ def main():
         "step_B_l": (lambda K: step_chain(stepB, K), cts, (8, 24)),
         "step_V_s": (lambda K: step_chain(stepV, K), cts, (1, 7)),
         "step_V_l": (lambda K: step_chain(stepV, K), cts, (8, 24)),
+        "step_B16_l": (lambda K: step_chain(stepB, K), cts16, (8, 24)),
+        "step_B64_l": (lambda K: step_chain(stepB, K), cts64, (4, 12)),
     }.items():
         ks, kb = kpair
         fs, fb_ = mk(ks), mk(kb)
@@ -199,7 +205,9 @@ def main():
     for name, (fs, fb_, arg, ks, kb) in chains.items():
         slope = (min(times[name]["b"]) - min(times[name]["s"])) / (kb - ks)
         result[name] = slope
-        unit = 8 * L if name.startswith("ntt") else batch
+        unit = (8 * L if name.startswith("ntt")
+                else (4 * batch if "B16" in name
+                      else (16 * batch if "B64" in name else batch)))
         kind = "pair-transform" if name.startswith("ntt") else "step"
         per_s = unit / slope if slope > 0 else float("nan")
         line = f"{name:14s}: {slope*1e3:8.3f} ms/chain-unit  {per_s:10.1f} {kind}/s"
@@ -212,6 +220,10 @@ def main():
         "step_short_B_vs_A": result["step_A128_s"] / result["step_B_s"],
         "step_long_B_vs_A": result["step_A128_l"] / result["step_B_l"],
         "step_long_VMEM_vs_B": result["step_B_l"] / result["step_V_l"],
+        "step_batch16_throughput_vs_4": (4 * batch / result["step_B16_l"])
+        / (batch / result["step_B_l"]),
+        "step_batch64_throughput_vs_4": (16 * batch / result["step_B64_l"])
+        / (batch / result["step_B_l"]),
     }
     for k, v in ratios.items():
         print(f"{k}: {v:.3f}x", flush=True)
@@ -219,6 +231,8 @@ def main():
         "A128_long": batch / result["step_A128_l"] / SOL_STEPS,
         "B_long": batch / result["step_B_l"] / SOL_STEPS,
         "VMEM_long": batch / result["step_V_l"] / SOL_STEPS,
+        "B16_long": 4 * batch / result["step_B16_l"] / SOL_STEPS,
+        "B64_long": 16 * batch / result["step_B64_l"] / SOL_STEPS,
     }
     print(json.dumps({
         "metric": f"mfu_levers_n2^{logn}",
