@@ -145,6 +145,8 @@ def main():
                       .astype(np.uint32))
     cts16 = jnp.asarray(rng.integers(0, lim, (4 * batch, 2, L, n))
                         .astype(np.uint32))
+    cts32 = jnp.asarray(rng.integers(0, lim, (8 * batch, 2, L, n))
+                        .astype(np.uint32))
     cts64 = jnp.asarray(rng.integers(0, lim, (16 * batch, 2, L, n))
                         .astype(np.uint32))
     sa = np.asarray(stepA(cts))
@@ -175,6 +177,7 @@ def main():
         "step_V_s": (lambda K: step_chain(stepV, K), cts, (1, 7)),
         "step_V_l": (lambda K: step_chain(stepV, K), cts, (8, 24)),
         "step_B16_l": (lambda K: step_chain(stepB, K), cts16, (8, 24)),
+        "step_B32_l": (lambda K: step_chain(stepB, K), cts32, (6, 18)),
         "step_B64_l": (lambda K: step_chain(stepB, K), cts64, (4, 12)),
     }.items():
         ks, kb = kpair
@@ -207,7 +210,8 @@ def main():
         result[name] = slope
         unit = (8 * L if name.startswith("ntt")
                 else (4 * batch if "B16" in name
-                      else (16 * batch if "B64" in name else batch)))
+                      else (8 * batch if "B32" in name
+                            else (16 * batch if "B64" in name else batch))))
         kind = "pair-transform" if name.startswith("ntt") else "step"
         per_s = unit / slope if slope > 0 else float("nan")
         line = f"{name:14s}: {slope*1e3:8.3f} ms/chain-unit  {per_s:10.1f} {kind}/s"
@@ -222,6 +226,8 @@ def main():
         "step_long_VMEM_vs_B": result["step_B_l"] / result["step_V_l"],
         "step_batch16_throughput_vs_4": (4 * batch / result["step_B16_l"])
         / (batch / result["step_B_l"]),
+        "step_batch32_throughput_vs_4": (8 * batch / result["step_B32_l"])
+        / (batch / result["step_B_l"]),
         "step_batch64_throughput_vs_4": (16 * batch / result["step_B64_l"])
         / (batch / result["step_B_l"]),
     }
@@ -232,6 +238,7 @@ def main():
         "B_long": batch / result["step_B_l"] / SOL_STEPS,
         "VMEM_long": batch / result["step_V_l"] / SOL_STEPS,
         "B16_long": 4 * batch / result["step_B16_l"] / SOL_STEPS,
+        "B32_long": 8 * batch / result["step_B32_l"] / SOL_STEPS,
         "B64_long": 16 * batch / result["step_B64_l"] / SOL_STEPS,
     }
     print(json.dumps({
