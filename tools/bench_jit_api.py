@@ -99,7 +99,9 @@ def main():
     np.asarray(out_arr(out))
     eager_s = (time.time() - t0) / R
 
-    # ---- jit row: chained-slope over ONE compiled program ----
+    # ---- jit row: chained-slope over ONE compiled program. Long
+    # chains + a 512-byte output slice: the sub-ms jitted program is far
+    # below the tunnel's per-MB transfer jitter ----
     from bench import _slope_time
 
     def chain(K):
@@ -108,7 +110,6 @@ def main():
             for _ in range(K):
                 o = program(ek_d, gk_d, c)
                 # re-embed at the input tower for a fixed-shape chain
-                Lc = len(c.ring.primes)
                 cs = tuple(
                     F.RingElt(dual=jax.numpy.concatenate(
                         [ringops.ensure_dual(o.ring, x).dual,
@@ -116,14 +117,17 @@ def main():
                         axis=-2))
                     for x, y in zip(o.cs, c.cs))
                 c = F.CipherText(c.params, cs, c.ring, enc=c.enc)
-            return c
+            return ringops.ensure_dual(c.ring, c.cs[0]).dual[..., 0, :128]
         return f
 
-    tj, spj = _slope_time(chain, (c_d,), k_small=1, k_big=5, reps=7)
+    # steps/s SoL ~82k at N=2^13 scales ~2x at N=2^12; floor generously
+    tj, spj = _slope_time(chain, (c_d,), k_small=4, k_big=24, reps=9,
+                          sol_time=1 / 300e3)
     jit_s = tj
 
     # ---- jit-batched row: same chain over the ct_stack batch ----
-    tb, spb = _slope_time(chain, (stack_d,), k_small=1, k_big=5, reps=7)
+    tb, spb = _slope_time(chain, (stack_d,), k_small=4, k_big=24, reps=9,
+                          sol_time=batch / 300e3)
     batched_s = tb / batch
 
     print(f"eager  : {eager_s*1e3:9.3f} ms/program", flush=True)
