@@ -135,10 +135,14 @@ def main():
           f"({eager_s/jit_s:.1f}x vs eager)", flush=True)
     print(f"jit+B{batch}: {batched_s*1e3:8.3f} ms/program-ct "
           f"({eager_s/batched_s:.1f}x vs eager)", flush=True)
+    sp_ms = lambda sp: [round(v * 1e3, 3) if np.isfinite(v) else None
+                        for v in sp]
     print(json.dumps({
         "metric": f"jit_api_program_n2^{logn}",
         "eager_ms": round(eager_s * 1e3, 3),
         "jit_ms": round(jit_s * 1e3, 3),
+        "jit_ms_spread": sp_ms(spj),
+        "jit_batched_ms_spread": sp_ms(spb),
         "jit_batched_ms_per_ct": round(batched_s * 1e3, 3),
         "batch": batch,
         "jit_speedup": round(eager_s / jit_s, 2),
