@@ -189,13 +189,18 @@ def main():
             if phased:
                 # three smaller programs: the whole-refresh module at
                 # N=2^13 passes the upload limit (row-view tables) but
-                # can OOM the remote compile helper
-                assert batch <= 1, "phased path is single-refresh"
-                prun = B.jit_bootstrap_replay_phased(ctx_h, drive_h)
+                # can OOM the remote compile helper. batch>1 vmaps each
+                # phase (jit_bootstrap_replay_phased_batched) — the
+                # production-N amortized-refresh path (round-5).
+                if batch > 1:
+                    prun = B.jit_bootstrap_replay_phased_batched(
+                        ctx_h, c_h)
+                else:
+                    prun = B.jit_bootstrap_replay_phased(ctx_h, drive_h)
                 t0 = time.time()
                 compiled = lambda a, b, it: prun(a, b, it)
-                print(f"phased compile path (lazy={lazy}): compiles on "
-                      f"first call", flush=True)
+                print(f"phased compile path (lazy={lazy}, batch={nb}): "
+                      f"compiles on first call", flush=True)
             else:
                 fn = (B.jit_bootstrap_batched_replay() if batch > 1
                       else B.jit_bootstrap_replay())

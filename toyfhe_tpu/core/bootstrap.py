@@ -962,6 +962,45 @@ def jit_bootstrap_replay_phased(ctx: BootstrapContext, c: CipherText):
     return run
 
 
+def jit_bootstrap_replay_phased_batched(ctx: BootstrapContext,
+                                        c: CipherText):
+    """BATCHED phased replay (round-4 VERDICT weak #6: the amortized
+    refresh at production N): the three phase programs of
+    :func:`jit_bootstrap_replay_phased`, each ``jax.vmap``'ed over a
+    ``rlwe.ct_stack``'ed ciphertext batch with the context, keys and
+    transform-diagonal items broadcast. Item lists come from
+    :func:`trace_plain_cache_phased` on a SINGLE (unbatched) ciphertext
+    — the diagonals are data-independent. Returns
+    ``run(ctx_dev, cb_dev, (items1, items2, items3))``."""
+    import jax
+
+    factor, pin = _phase3_statics(ctx, c)
+
+    def _replay(items_, fn, *args):
+        rc = CE.PlainCache()
+        rc.items = list(items_)
+        with CE.plaintext_cache(rc, "replay"):
+            return fn(*args)
+
+    f1 = jax.jit(lambda ctx_, cb, it: jax.vmap(
+        lambda c_: _replay(it, bootstrap_phase1, ctx_, c_))(cb))
+    f2 = jax.jit(lambda ctx_, lo, hi, it: jax.vmap(
+        lambda l_, h_: _replay(it, bootstrap_phase2, ctx_, l_, h_))(lo, hi))
+    f3 = jax.jit(lambda ctx_, ev, it: jax.vmap(
+        lambda e_: _replay(
+            it, lambda a, e: bootstrap_phase3(a, e, factor, pin),
+            ctx_, e_))(ev))
+
+    def run(ctx_dev, cb_dev, items):
+        it1, it2, it3 = items
+        lo, hi = f1(ctx_dev, cb_dev, it1)
+        ev = f2(ctx_dev, lo, hi, it2)
+        return f3(ctx_dev, ev, it3)
+
+    run.phases = (f1, f2, f3)
+    return run
+
+
 def bootstrap_batched(ctx: BootstrapContext, cb: CipherText) -> CipherText:
     """Refresh a BATCH of exhausted ciphertexts (``rlwe.ct_stack``'ed
     along a leading axis) in one call: ``jax.vmap`` over the ciphertext
